@@ -1,0 +1,96 @@
+"""Flagship end-to-end pipeline — the engine's t1 smoke query.
+
+Re-expresses the reference's whole pipeline shape (SURVEY.md §3.1) over the
+fixture star schema:
+
+  scan fixtures (orders)            ← Selenium scrape, team_utilities.py:387-430
+  → incremental date-horizon filter ← today/tomorrow filter, :436
+  → enrich join vs. dimension       ← per-row detail lookup loops, :448-506
+  → per-key history, last-N         ← "last 10 recent games", :447
+  → sorted collect_list aggregation ← dict-bucket agg, :277-304
+  → nested doc assembly + to_json   ← json.dumps at :89,107,124,323
+
+Spark-first choices: the date filter lands on the parquet scan (predicate
+pushdown); the customer dimension join is broadcast; the history top-N is a
+window over a single shuffle by order key; collect_list is array_sorted for
+determinism; JSON appears only in the final projection (sink boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+
+def flagship_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_start: str = "1997-01-01",
+    horizon_days: int = 365,
+) -> DataFrame:
+    """Fixtures in a date horizon, enriched with customer dim + an
+    array-of-structs match history aggregated from lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    # Incremental horizon — the reference's today/tomorrow predicate made
+    # parameterized and partition-prunable.
+    fixtures = orders.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(horizon_start)))
+        & (
+            F.col("o_orderdate")
+            < F.date_add(F.to_date(F.lit(horizon_start)), horizon_days)
+        )
+    )
+
+    # Left-enrichment join (E2): dimension side is small → broadcast.
+    enriched = fixtures.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        fixtures.o_custkey == customer.c_custkey,
+        "left",
+    )
+
+    # Per-order history: last 3 line items by ship date (G2/E6 as-of shape),
+    # deterministic tiebreak on l_linenumber.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    )
+    recent_lines = (
+        lineitem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("line"),
+                        F.col("l_shipdate").cast("date").alias("ship"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("recent_lines")
+        )
+    )
+
+    result = (
+        enriched.join(
+            recent_lines, enriched.o_orderkey == recent_lines.l_orderkey, "left"
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("fixture_date"),
+            F.coalesce("c_name", F.lit("")).alias("customer_name"),
+            F.coalesce("c_mktsegment", F.lit("")).alias("segment"),
+            "o_totalprice",
+            # Nested doc serialized only at the boundary; '{}'-style default
+            # mirrors the reference's empty-JSON sentinel (E4).
+            F.coalesce(F.to_json(F.col("recent_lines")), F.lit("[]")).alias(
+                "history_json"
+            ),
+        )
+    )
+    return result

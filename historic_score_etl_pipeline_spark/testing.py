@@ -1,0 +1,134 @@
+"""Internal parity harness — mirrors the driver's Spark-vs-DuckDB check.
+
+The driver runs every ``queries()`` entry and its ``oracle_sql()`` twin at
+sf0.01 and compares row count + schema + order-insensitive value hash with
+columns sorted by name.  This module reproduces that comparison so each
+operator can be verified locally before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from historic_score_etl_pipeline_spark.sources.catalog import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with the catalog tables pre-registered as views, the way
+    the driver's oracle does."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _canon_value(v) -> str:
+    """Canonical string for one cell, tolerant of numpy/pandas wrappers."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, (_dt.datetime, pd.Timestamp)):
+        if isinstance(v, pd.Timestamp) and pd.isna(v):
+            return "∅"
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_value(v[k])}" for k in sorted(v)) + "}"
+    if v is pd.NaT:
+        return "∅"
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+        return str(int(v))
+    if type(v).__name__.startswith("float"):
+        return _canon_value(float(v))
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[str]:
+    """Rows as canonical strings, columns sorted by name, rows sorted."""
+    cols = sorted(df.columns)
+    rows = [
+        "|".join(_canon_value(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    return sorted(rows)
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str
+
+    def __str__(self) -> str:
+        return f"{'PASS' if self.ok else 'FAIL'} {self.name}: {self.detail}"
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        return ParityResult(name, False, f"columns differ: spark={sc} oracle={oc}")
+    if len(spark_pdf) != len(oracle_pdf):
+        return ParityResult(
+            name, False, f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+    srows, orows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    if srows != orows:
+        diff = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+        )
+        return ParityResult(
+            name,
+            False,
+            f"values differ at sorted row {diff[0]}:\n  spark : {diff[1]}\n  oracle: {diff[2]}",
+        )
+    return ParityResult(name, True, f"{len(spark_pdf)} rows match")
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:
+    """Run (a subset of) the contract and compare each against its oracle."""
+    from historic_score_etl_pipeline_spark.contract import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name, fn in qs.items():
+        if names is not None and name not in names:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            results.append(ParityResult(name, False, f"spark error: {e}"))
+            continue
+        if name not in oracles:
+            ok = len(sdf) >= 0
+            results.append(ParityResult(name, ok, f"rows-only: {len(sdf)} rows"))
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            results.append(ParityResult(name, False, f"oracle error: {e}"))
+            continue
+        results.append(compare(name, sdf, odf))
+    return results
