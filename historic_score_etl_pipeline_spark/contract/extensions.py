@@ -1,3 +1,437 @@
-from historic_score_etl_pipeline_spark.contract import QuerySpec
+"""Contract batch 5 — UDF/UDTF surface, sinks, and the north-star
+LLM-data-pipeline extensions (SURVEY.md §2J, §2A-A4, §2K)."""
 
-QUERIES: dict[str, QuerySpec] = {}
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.contract.scans import (
+    _svg_case_sql,
+    _svg_raw_col,
+)
+from historic_score_etl_pipeline_spark.functions.strings import (
+    classify_activity_py,
+    extract_svg_class_token,
+)
+from historic_score_etl_pipeline_spark.operators.dedup import (
+    dedup_exact as dedup_exact_op,
+    lsh_candidate_pairs,
+    near_dup_jaccard,
+    simhash64,
+    text_fingerprint,
+)
+from historic_score_etl_pipeline_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from historic_score_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from historic_score_etl_pipeline_spark.operators.text import (
+    LANG_MARKERS,
+    lang_id,
+    quality_features,
+    token_count_regex,
+)
+from historic_score_etl_pipeline_spark.sinks.writer import ErrorChannel, retried_write
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+
+# --- J1: pandas_udf classification (Arrow-vectorized Python path) ---------
+
+def udf_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-element Python classifier
+    (app/team_utilities.py:143-163) as an Arrow-batched pandas_udf —
+    proving the vectorized-Python path gives identical results to the
+    native CASE chain (str_classify_case) and the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def classify(tokens: pd.Series) -> pd.Series:
+        return tokens.map(classify_activity_py)
+
+    ev = load_table(spark, sf_dir, "events")
+    token = extract_svg_class_token(_svg_raw_col())
+    return ev.select(
+        "event_id",
+        classify(token).alias("activity"),
+    )
+
+
+UDF_CLASSIFY_SQL = f"""
+SELECT event_id,
+       CASE
+         WHEN svg_token LIKE '%card%' AND svg_token NOT LIKE '%red%'
+              AND svg_token NOT LIKE '%yellow%' THEN 'red-yellowcard'
+         WHEN svg_token LIKE '%red%' THEN 'redcard'
+         WHEN svg_token LIKE '%soccer%' THEN 'goal'
+         WHEN svg_token LIKE '%substitution%' THEN 'substitution'
+         WHEN svg_token LIKE '%var%' THEN 'var'
+         WHEN svg_token LIKE '%warning%' THEN 'penalty(missed)'
+         WHEN svg_token LIKE '%yellow%' THEN 'yellowcard'
+         ELSE NULL
+       END AS activity
+FROM (
+  SELECT event_id,
+         regexp_extract({_svg_case_sql()}, '<([^<>]*svg class[^<>]*)>', 1) AS svg_token
+  FROM events
+)
+"""
+
+
+# --- J2: table-generating transform (1 row → N rows) ----------------------
+
+def udtf_explode_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``matches_scores`` returns 3 documents per input URL
+    (app/team_utilities.py:17-127) — generalized: mapInPandas emits one
+    row per sentence-chunk of each document (1 → N, Arrow-batched)."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("chunk_idx", LongType()),
+            StructField("chunk", StringType()),
+        ]
+    )
+
+    def explode_chunks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, chunks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split()
+                for i in range(0, len(words), 20):
+                    ids.append(doc_id)
+                    idxs.append(i // 20)
+                    chunks.append(" ".join(words[i : i + 20]))
+            yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs, "chunk": chunks})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(explode_chunks, out_schema)
+
+
+# --- A4: retried idempotent sink ------------------------------------------
+
+def sink_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retried, idempotent batch write + read-back (the reference's
+    load-retry-park-salvage loops, app/team_utilities.py:510-554, minus
+    its duplicate-on-retry hazard).  Writes under the repo tmp dir; the
+    returned frame is the round-tripped data."""
+    out_root = os.path.join(
+        tempfile.gettempdir(), "historic_score_etl_pipeline_spark_sink"
+    )
+    errors = ErrorChannel()
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    ok = retried_write(df, out_root, batch_id="contract-demo", errors=errors)
+    if not ok:
+        raise RuntimeError(f"sink_write failed: {errors.report()}")
+    return spark.read.parquet(f"{out_root}/batch_id=contract-demo")
+
+
+# --- K1: exact dedup ------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: md5 fingerprint of the normalized 5-token
+    prefix (prefix collisions make real duplicate groups), keep min-id
+    representative + duplicate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 5))
+    return dedup_exact_op(
+        docs, F.md5(prefix), "doc_id", ["lang", "source"]
+    ).select("fingerprint", "doc_id", "n_dups", "lang", "source")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:5], ' '))
+         AS fingerprint,
+       min(doc_id) AS doc_id,
+       count(*) AS n_dups,
+       min(lang) AS lang,
+       min(source) AS source
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- K2a: MinHash + LSH near-dup candidates (rows-only) -------------------
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs over document shingles —
+    the scale path for near-dup (no n² self-join).  xxhash64 seeds are
+    Spark-specific → rows-only check; correctness vs. exact Jaccard is
+    asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text")
+
+
+# --- K2b: SimHash signatures (rows-only) ----------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signature + bucket sizes (signature
+    collisions = near-dup candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", simhash64("text").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+# --- K2c: n-gram Jaccard near-dup (oracle-checked) ------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked 3-gram Jaccard: same-lang doc pairs (left side thinned
+    10×), kept when Jaccard ≥ 0.01 — fully SQL-expressible, so this is the
+    oracle-checked member of the near-dup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_jaccard(
+        docs, "doc_id", "text", ["lang"], threshold=0.01, sample_mod=10
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.01
+"""
+
+
+# --- K3: top-k cosine similarity ------------------------------------------
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbours for 3 query vectors —
+    broadcast queries, zip_with/aggregate dot products, window rank.
+    Scored in double with round(4) so the DuckDB float path agrees."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2))
+    out = brute_force_topk(emb, queries, "vec_id", "vec_id", k=5)
+    return out.select(
+        "query_id", "rank", "corpus_id", F.round("cos", 4).alias("cos4")
+    )
+
+
+SIM_TOPK_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+     c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+     scored AS (
+       SELECT query_id, corpus_id,
+              round(list_cosine_similarity(
+                      list_transform(qvec, x -> CAST(x AS DOUBLE)),
+                      list_transform(cvec, x -> CAST(x AS DOUBLE))), 6) AS cos
+       FROM q JOIN c ON corpus_id <> query_id
+     )
+SELECT query_id, rank, corpus_id, round(cos, 4) AS cos4
+FROM (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, corpus_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+# --- K3b: IVF-bucketed approximate top-k (rows-only) ----------------------
+
+def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-cell approximate top-5 — scans ~n_probe/n_cells of the
+    corpus.  Approximate → rows-only; recall vs. brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(emb, queries, "vec_id", "vec_id", k=5)
+
+
+# --- K4a: token stats -----------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+        token_count_regex("text").alias("n_regex_tokens"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens
+FROM documents
+"""
+
+
+# --- K4b: language ID heuristic -------------------------------------------
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-voting language ID; compared against the table's own
+    lang label for an accuracy histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        f" t -> t IN ({markers})))"
+    )
+
+
+_LANG_ARGMAX = " ".join(
+    # fixed order (sorted) with strict > — mirrors operators.text.lang_id
+    f"WHEN {_lang_hits_sql(lang)} > greatest("
+    + ", ".join(
+        [_lang_hits_sql(other) for other in sorted(LANG_MARKERS) if other < lang]
+        + ["0"]
+    )
+    + f") AND {_lang_hits_sql(lang)} >= greatest("
+    + ", ".join(
+        [_lang_hits_sql(other) for other in sorted(LANG_MARKERS) if other > lang]
+        + ["1"]
+    )
+    + f") THEN '{lang}'"
+    for lang in sorted(LANG_MARKERS)
+)
+
+TEXT_LANG_ID_SQL = f"""
+SELECT lang, pred_lang, count(*) AS n
+FROM (
+  SELECT lang,
+         CASE {_LANG_ARGMAX} ELSE 'und' END AS pred_lang
+  FROM documents
+)
+GROUP BY lang, pred_lang
+"""
+
+
+# --- K4c: quality scoring -------------------------------------------------
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality features per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in
+                      ("the", "a", "an", "of", "and", "or", "in", "on", "to", "is"))
+
+TEXT_QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN length(text) > 0
+            THEN round(CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS DOUBLE)
+                       / length(text), 6)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                       / len(toks), 6)
+            ELSE 0.0 END AS stopword_ratio
+FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+"""
+
+
+# --- K4d: document fingerprint --------------------------------------------
+
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 content fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_fingerprint("text").alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --- K5: multimodal columns -----------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media table metadata — the query reads ONLY metadata
+    columns, so at scale the payload bytes are never scanned (column
+    pruning)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select("media_id", "mime", "n_bytes")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode step
+    stubbed with a deterministic fake — see operators.multimodal)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "udf_classify": QuerySpec(udf_classify, UDF_CLASSIFY_SQL),
+    "udtf_explode_matches": QuerySpec(udtf_explode_matches, None),
+    "sink_write": QuerySpec(sink_write, None),
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_near_minhash": QuerySpec(dedup_near_minhash, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "sim_topk_cosine": QuerySpec(sim_topk_cosine, SIM_TOPK_COSINE_SQL),
+    "sim_topk_cosine_ivf": QuerySpec(sim_topk_cosine_ivf, None),
+    "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL),
+    "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SCORE_SQL),
+    "text_fingerprint": QuerySpec(text_fingerprint_q, TEXT_FINGERPRINT_SQL),
+    "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_features": QuerySpec(multimodal_features, None),
+}

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2K-K3).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the (small)
+query set against the (huge) corpus — one pass, no shuffle of the corpus,
+`O(corpus × queries × dim)` multiply-adds all inside whole-stage codegen
+(``zip_with`` + ``aggregate``, no Python).
+
+The scale path is IVF-style partition pruning: k-means-ish coarse cells
+(here: modulo-bucketed centroids for determinism), search only the cells
+nearest the query — the REPOSE/EDBT'20 pruning idea (PAPERS.md) without a
+custom index format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential over the array, so the
+    result is bit-identical regardless of partitioning."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def as_double_array(col: Column | str) -> Column:
+    """float[] → double[] so all arithmetic is double-precision (matches
+    any double-based oracle and avoids float-accumulation drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k: broadcast queries × corpus, cosine, window rank.
+
+    Returns (query_id, corpus_id, cos) with rank ≤ k, deterministic
+    tiebreak on corpus id.  Excludes self-matches when ids collide.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k.
+
+    Cells are assigned by a deterministic coarse quantizer (sign pattern of
+    the first ``log2(n_cells)`` dimensions — a random-hyperplane LSH with
+    axis-aligned planes).  A query probes its own cell plus the
+    ``n_probe-1`` cells at minimal Hamming distance, scanning only
+    ~n_probe/n_cells of the corpus.  Recall < 1; the contract records it
+    rows-only and the test suite checks recall ≥ 0.6 against brute force.
+    """
+    bits = max(1, n_cells.bit_length() - 1)
+
+    def cell_of(vec: Column) -> Column:
+        out = F.lit(0)
+        for i in range(bits):
+            out = out + F.when(vec.getItem(i) > 0, F.lit(1 << i)).otherwise(0)
+        return out
+
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        as_double_array(vec_col).alias("cvec"),
+    ).withColumn("cell", cell_of(F.col("cvec")))
+
+    # Probe set: own cell + single-bit flips (Hamming-1 neighbours), capped.
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    ).withColumn("qcell", cell_of(F.col("qvec")))
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.slice(
+                F.concat(
+                    F.array(F.col("qcell")),
+                    F.array(
+                        *[
+                            F.col("qcell").bitwiseXOR(F.lit(1 << i))
+                            for i in range(bits)
+                        ]
+                    ),
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("cell"),
+    )
+
+    scored = c.join(F.broadcast(probes), "cell").where(
+        F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

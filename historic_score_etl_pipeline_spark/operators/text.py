@@ -1,0 +1,87 @@
+"""Text analysis operators (SURVEY.md §2K-K4): language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure Column expressions — at 100 TB these run inside whole-stage
+codegen over the scan, no shuffle at all (per-row map work), which is the
+best possible shape for corpus-wide text featurization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny marker-word lists per language — an n-gram/stopword heuristic in the
+# spirit of langid's feature voting, deliberately simple + deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "or", "in", "on", "to", "is")
+
+# BPE-ish word/piece tokenizer: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex (words / numbers / symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast("bigint")
+
+
+def marker_hits(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker list."""
+    t = tokens(col)
+    lst = list(markers)
+    return F.size(F.filter(t, lambda tok: tok.isin(*lst))).cast("bigint")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax of marker-word hits across languages; 'und' when no marker
+    fires.  Ties break in fixed language order (sorted keys) so the result
+    is deterministic."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("bigint")
+    for lang in sorted(LANG_MARKERS):  # fixed order → deterministic argmax
+        hits = marker_hits(col, LANG_MARKERS[lang])
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals (the classic
+    Gopher/C4-style filters, rounded for engine-neutral comparison)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_tok = F.size(t).cast("bigint")
+    n_chars = F.length(c).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0))
+    ).cast("bigint")
+    n_stop = F.size(F.filter(t, lambda tok: tok.isin(*STOPWORDS_EN))).cast("bigint")
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.round((n_chars - (n_tok - 1)) / n_tok, 6),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": mean_tok_len,
+        "punct_ratio": F.when(n_chars > 0, F.round(n_punct / n_chars, 6)).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_ratio": F.when(n_tok > 0, F.round(n_stop / n_tok, 6)).otherwise(
+            F.lit(0.0)
+        ),
+    }

@@ -1,0 +1,113 @@
+"""Sinks: retried idempotent writer + error channel (SURVEY.md §2A-A4,
+§4.2).
+
+The reference retries each league's Postgres load twice, parks failed
+frames, unions and retries them at end of run, and accumulates error dicts
+mailed to a human (app/team_utilities.py:510-554; app/main.py:24-47) —
+with a bug where the final referee retry writes the wrong frame
+(app/ref_utilities.py:240), which this engine deliberately does not
+reproduce.
+
+Spark-first restatement:
+
+* task-level retries are Spark's job; the writer adds *batch-level*
+  idempotence: each batch writes to a deterministic batch-id directory
+  with overwrite mode, so a re-run replaces rather than duplicates
+  (exactly-once per batch id — the ``foreachBatch`` discipline).
+* the error side-channel is a DataFrame, not a global dict: failures are
+  recorded as typed rows and written next to the data, queryable like
+  anything else.
+* JDBC parity: the same frame can be pointed at ``format("jdbc")`` with
+  ``batchsize`` — kept behind an option so tests run on parquet.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+ERROR_SCHEMA = StructType(
+    [
+        StructField("context", StringType()),
+        StructField("error", StringType()),
+        StructField("batch_id", StringType()),
+    ]
+)
+
+
+@dataclass
+class ErrorChannel:
+    """Typed replacement for the reference's global ``except_messgs`` dict
+    (app/team_utilities.py:15)."""
+
+    records: list[tuple[str, str, str]] = field(default_factory=list)
+
+    def record(self, context: str, error: Exception | str, batch_id: str) -> None:
+        self.records.append((context, str(error), batch_id))
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.records, ERROR_SCHEMA)
+
+    def report(self) -> str:
+        """The email-body fold (app/main.py:24-36) as a plain string."""
+        return "\n".join(
+            f"{ctx}: {err} [batch {bid}]" for ctx, err, bid in sorted(self.records)
+        )
+
+
+def retried_write(
+    df: DataFrame,
+    path: str,
+    batch_id: str,
+    errors: ErrorChannel | None = None,
+    attempts: int = 2,
+    partition_by: list[str] | None = None,
+) -> bool:
+    """Idempotent parquet write with bounded retries.
+
+    Writes to ``{path}/batch_id={batch_id}`` in overwrite mode — re-running
+    the same batch id replaces the directory instead of appending
+    duplicates, which is what makes retry safe (the reference's
+    ``to_sql(append)`` + retry can double-insert)."""
+    target = f"{path}/batch_id={batch_id}"
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(target)
+            return True
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            if errors is not None:
+                errors.record(f"write attempt {attempt + 1} → {target}", e, batch_id)
+            time.sleep(0.1 * (attempt + 1))
+    if errors is not None and last_err is not None:
+        errors.record(f"write FAILED after {attempts} attempts → {target}", last_err, batch_id)
+    return False
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    **options: str,
+) -> None:
+    """JDBC sink parity with the reference's SQLAlchemy ``to_sql`` batch
+    append (app/team_utilities.py:363-365).  Untested here (no database in
+    the container); the parquet path above is the tested twin."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )

@@ -1,0 +1,15 @@
+from historic_score_etl_pipeline_spark.streaming.jobs import (
+    daily_counts_stream,
+    read_events_stream,
+    run_available_now,
+    sessionized_stream,
+    watermarked_dedup_stream,
+)
+
+__all__ = [
+    "daily_counts_stream",
+    "read_events_stream",
+    "run_available_now",
+    "sessionized_stream",
+    "watermarked_dedup_stream",
+]

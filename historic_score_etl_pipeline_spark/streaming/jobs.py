@@ -1,0 +1,119 @@
+"""Structured Streaming surface (SURVEY.md §2I, §7-M5).
+
+The reference's cadence — cron every 2 days, scrape a 2-day horizon, retry
+failed loads (app/main.py:19; app/team_utilities.py:436,510-554) — is an
+incremental micro-batch job.  Its Spark-native form:
+
+* file source + ``Trigger.AvailableNow`` → process everything new, then
+  stop (the cron-batch pattern with checkpointed exactly-once progress);
+* watermark + ``dropDuplicates`` → the garbage/dirty tolerance (I2);
+* checkpoint dir → the resume/retry state the reference hand-rolls with
+  parked frames (I3);
+* tumbling/session windows → the daily bucketing (I1/I4).
+
+All transforms are shared with the batch contract — the same
+DataFrame expressions run under ``readStream`` unchanged, which is the
+core argument for the Spark-first design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Explicit schema: streaming file sources cannot infer, and the events
+# parquet carries nanos timestamps that must be read as long first
+# (see sources.catalog.load_table).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long, converted below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """events as a file-source stream (one parquet file = one micro-batch
+    unit; at scale this is a date-partitioned landing zone)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """I1: tumbling daily aggregation with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").cast("string").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def watermarked_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """I2: drop duplicate event_ids within the watermark — the streaming
+    form of the reference's tolerate-dirty-input behavior."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """I4: session windows with an inactivity gap (the streaming twin of
+    the batch gaps-and-islands query stream_session_gap)."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("sess"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "job",
+    output_mode: str = "append",
+) -> None:
+    """Process all available input then stop — the cron-batch trigger
+    (exactly-once via checkpoint; resuming after a crash re-reads only
+    unprocessed files, replacing the reference's parked-frame salvage).
+    Aggregation streams use ``output_mode='complete'``; row streams use
+    the default append."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,140 @@
+"""Reference-parity edge cases (SURVEY.md §5.2-3, FIXTURES.md §3): the
+parsing semantics pinned from /root/reference, tested on literal frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.functions.dates import (
+    parse_day_month_with_year,
+    parse_slash_date,
+)
+from historic_score_etl_pipeline_spark.functions.strings import (
+    classify_activity,
+    classify_activity_py,
+    extract_svg_class_token,
+    overtime_minute,
+)
+from historic_score_etl_pipeline_spark.operators.windows import ffill
+
+
+def test_stoppage_time(spark):
+    # FIXTURES §3.1: '45+2' → 47 (app/team_utilities.py:136-139)
+    df = spark.createDataFrame(
+        [("45",), ("45+2",), ("90+5",), ("7",), ("garbage",)], ["raw"]
+    )
+    out = [r[0] for r in df.select(overtime_minute("raw")).collect()]
+    assert out == [45, 47, 95, 7, None]
+
+
+def test_arity_filter_cancelled(spark):
+    # FIXTURES §3.3: only arity-3 rows survive (app/team_utilities.py:417-420)
+    df = spark.createDataFrame(
+        [("a,b",), ("a,b,c",), ("a,b,c,d",), ("x,12:00,done",)], ["raw"]
+    )
+    kept = (
+        df.where(F.size(F.split("raw", ",")) == 3)
+        .select("raw")
+        .rdd.flatMap(lambda r: r)
+        .collect()
+    )
+    assert kept == ["a,b,c", "x,12:00,done"]
+
+
+def test_ffill_rowspan_dates(spark):
+    # FIXTURES §3.4: ''→NULL→forward-fill (app/ref_utilities.py:103)
+    rows = [
+        (1, "01/02/2023"),
+        (2, ""),
+        (3, ""),
+        (4, "02/02/2023"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "date"])
+    nulled = F.when(F.col("date") != "", F.col("date"))
+    out = (
+        df.select(
+            "event_id", ffill(nulled, [], ["event_id"]).alias("filled")
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [r.filled for r in out] == [
+        "01/02/2023",
+        "01/02/2023",
+        "01/02/2023",
+        "02/02/2023",
+        "02/02/2023",
+    ]
+
+
+def test_activity_classification_disambiguation(spark):
+    # FIXTURES §3.5: red-yellow disambiguation (app/team_utilities.py:155-158)
+    cases = {
+        'svg class="soccer-ball"': "goal",
+        'svg class="card-ico"': "red-yellowcard",  # 'card', no colour word
+        'svg class="red-card"': "redcard",
+        'svg class="yellow-card"': "yellowcard",
+        'svg class="card yellow"': "yellowcard",  # card+yellow → yellow wins
+        'svg class="substitution-in"': "substitution",
+        'svg class="var-check"': "var",
+        'svg class="warning-tri"': "penalty(missed)",
+        'svg class="unknown"': None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["tok"])
+    out = dict(
+        df.select("tok", classify_activity("tok").alias("a")).collect()
+    )
+    assert out == cases
+    # plain-Python twin must agree everywhere
+    for tok, expected in cases.items():
+        assert classify_activity_py(tok) == expected
+
+
+def test_svg_token_extraction(spark):
+    df = spark.createDataFrame(
+        [('<div><svg class="goal-x"></svg><b>45</b></div>',)], ["raw"]
+    )
+    tok = df.select(extract_svg_class_token("raw").alias("t")).first().t
+    assert tok == 'svg class="goal-x"'
+
+
+def test_date_parse_synthesized_year(spark):
+    # FIXTURES §3.8: '13.08. 20:30' + 2023 (app/team_utilities.py:433)
+    df = spark.createDataFrame([("13.08. 20:30",), ("29.02. 10:00",)], ["d"])
+    out = df.select(parse_day_month_with_year("d", 2023).alias("ts")).collect()
+    assert str(out[0].ts) == "2023-08-13 20:30:00"
+    assert out[1].ts is None  # no Feb 29 in 2023 → try-parse NULL
+
+
+def test_slash_date_parse(spark):
+    df = spark.createDataFrame([("01/02/2023",), ("bogus",)], ["d"])
+    out = df.select(parse_slash_date("d").alias("dt")).collect()
+    assert str(out[0].dt) == "2023-02-01"
+    assert out[1].dt is None
+
+
+def test_empty_result_sentinels(spark):
+    # FIXTURES §3.6: unmatched keys → ''/'{}' via coalesce
+    from historic_score_etl_pipeline_spark.operators.joins import left_enrich
+
+    fixtures = spark.createDataFrame([(1, "u1"), (2, "u2")], ["id", "url"])
+    details = spark.createDataFrame([("u1", "detail1")], ["url", "blob"])
+    out = left_enrich(fixtures, details, "url", {"blob": "{}"}).orderBy("id")
+    assert [r.blob for r in out.collect()] == ["detail1", "{}"]
+
+
+def test_repaired_href_predicate(spark):
+    # FIXTURES §3.7: engine implements BOTH substrings required
+    df = spark.createDataFrame(
+        [
+            ("x/referee_summary/2022-2023/a",),
+            ("x/other/2022-2023/b",),
+            ("x/referee_summary/2021/c",),
+        ],
+        ["href"],
+    )
+    kept = df.where(
+        F.col("href").contains("referee_summary") & F.col("href").contains("2022-2023")
+    ).count()
+    assert kept == 1

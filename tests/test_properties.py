@@ -1,0 +1,73 @@
+"""Property tests (SURVEY.md §5.2-4, hypothesis): algebraic invariants of
+the operator library on generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from historic_score_etl_pipeline_spark.functions.strings import classify_activity_py
+
+
+def _overtime_py(s: str) -> int | None:
+    """Reference semantics of overtime_minute for the property check."""
+    try:
+        if "+" in s:
+            a, b = s.split("+", 1)
+            b = b.split("+", 1)[0]
+            return int(a) + int(b)
+        return int(s)
+    except ValueError:
+        return None
+
+
+@given(st.integers(0, 130), st.integers(0, 15))
+def test_overtime_sum_property(base, extra):
+    assert _overtime_py(f"{base}+{extra}") == base + extra
+    assert _overtime_py(str(base)) == base
+
+
+@given(st.text(alphabet="abcdefgh <>\"=-", max_size=40))
+def test_classify_never_raises(s):
+    # classifier is total over arbitrary strings
+    out = classify_activity_py(s)
+    assert out in {
+        None,
+        "goal",
+        "redcard",
+        "yellowcard",
+        "red-yellowcard",
+        "substitution",
+        "var",
+        "penalty(missed)",
+    }
+
+
+@given(
+    st.lists(st.sampled_from(["card", "red", "yellow", "soccer", "var", "x"]), max_size=4)
+)
+def test_classify_precedence(parts):
+    tok = "-".join(parts)
+    out = classify_activity_py(tok)
+    if "card" in tok and "red" not in tok and "yellow" not in tok:
+        assert out == "red-yellowcard"
+    elif "red" in tok:
+        assert out == "redcard"
+
+
+# spark-level invariants run once (not per-example) for speed --------------
+
+def test_union_and_dedup_invariants(spark):
+    from pyspark.sql import functions as F
+    from historic_score_etl_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        text_fingerprint,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    # union associativity / count additivity
+    assert a.unionByName(b).count() == docs.count()
+    # dedup fixpoint: dedup(dedup(x)) == dedup(x)
+    d1 = dedup_exact(docs, text_fingerprint("text"), "doc_id", ["lang"])
+    assert d1.count() == docs.select(text_fingerprint("text")).distinct().count()

@@ -1,0 +1,47 @@
+"""Similarity-search gates: brute-force agrees with numpy, IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_brute_force_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    qid = int(ids[0])
+    q = mat[ids == qid][0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = [
+        int(i)
+        for i in sorted(
+            range(len(ids)), key=lambda i: (-round(cos[i], 6), ids[i])
+        )
+        if ids[i] != qid
+    ][:5]
+
+    out = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == qid), "vec_id", "vec_id", k=5
+    )
+    got = [r.corpus_id for r in out.orderBy("rank").collect()]
+    assert got == [ids[i] for i in order]
+
+
+def test_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, "vec_id", "vec_id", k=5)
+    approx = ivf_topk(emb, queries, "vec_id", "vec_id", k=5, n_cells=16, n_probe=8)
+    exact_pairs = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

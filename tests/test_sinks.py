@@ -1,0 +1,34 @@
+"""Sink gates: idempotent retry (no duplicate-on-retry), error channel."""
+
+from __future__ import annotations
+
+import tempfile
+
+from historic_score_etl_pipeline_spark.sinks.writer import ErrorChannel, retried_write
+
+
+def test_retried_write_idempotent(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    with tempfile.TemporaryDirectory() as root:
+        assert retried_write(df, root, batch_id="b1")
+        # a retry of the same batch id replaces — row count unchanged
+        # (the reference's to_sql(append)+retry would double to 200,
+        # app/ref_utilities.py:206-217)
+        assert retried_write(df, root, batch_id="b1")
+        assert spark.read.parquet(f"{root}/batch_id=b1").count() == 100
+        # a different batch id lands alongside
+        assert retried_write(df, root, batch_id="b2")
+        assert spark.read.parquet(root).count() == 200
+
+
+def test_error_channel_records_failures(spark):
+    df = spark.range(10)
+    errors = ErrorChannel()
+    ok = retried_write(df, "/proc/definitely/not/writable", "b1", errors=errors, attempts=2)
+    assert not ok
+    assert len(errors.records) >= 2  # one per attempt + final
+    report = errors.report()
+    assert "b1" in report and "attempt" in report
+    edf = errors.to_df(spark)
+    assert edf.count() == len(errors.records)
+    assert set(edf.columns) == {"context", "error", "batch_id"}
