@@ -53,6 +53,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Local-bench parallelism repair: the sf0.1 files are a few MB, so
+    # 128 MB splits would serialize scans onto 1-3 of the 32 cores.  At
+    # production scale the default (128 MB, set in session.py) applies.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
 
     qs = contract.queries()
     # JVM warmup on a cheap query so the first timed entry isn't penalized

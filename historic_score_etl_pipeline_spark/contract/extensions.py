@@ -113,7 +113,11 @@ def udtf_explode_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     chunks.append(" ".join(words[i : i + 20]))
             yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs, "chunk": chunks})
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "text")
     return docs.mapInPandas(explode_chunks, out_schema)
 
 
@@ -180,7 +184,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 16-bit SimHash signature + bucket sizes (signature
     collisions = near-dup candidates)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", simhash64("text").alias("simhash"))
         .groupBy("simhash")
@@ -414,7 +420,11 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (decode step
     stubbed with a deterministic fake — see operators.multimodal)."""
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
+
+    media = documents_as_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     return extract_features(media)
 
 

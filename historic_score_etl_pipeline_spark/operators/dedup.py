@@ -68,18 +68,41 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_signature(col: Column | str, num_hashes: int = 32) -> Column:
     """MinHash signature over word-3-gram shingles.
 
-    One xxhash64 per (shingle, seed-salt) pair, min per salt — entirely
-    JVM-side, no Python UDF.  Collision behavior matches the classic
-    h_i(x) = hash(salt_i || x) family.
+    Hash each shingle ONCE with xxhash64 (reduced mod 2³¹-1), then derive
+    the ``num_hashes`` family members by the affine trick
+    h_i(x) = a_i·h(x) + b_i (mod 2³¹-1) — only one string hash per
+    shingle; the rest is integer arithmetic.  31-bit modulus keeps every
+    product inside a long even under ANSI overflow checking.  Prefer
+    :func:`minhash_base` + :func:`minhash_mins` staged as two projections
+    (as lsh_candidate_pairs does) so the string hashing is evaluated once,
+    not once per family member.
     """
-    sh = shingles(col)
+    return minhash_mins(minhash_base(col), num_hashes)
+
+
+_MH_P = (1 << 31) - 1
+# fixed odd affine constants (deterministic, pairwise-independent enough
+# for LSH banding); all < 2^31 so h*a < 2^62
+_MH_A = [(2 * i * 0x9E3779B9 + 1) % _MH_P for i in range(1, 65)]
+_MH_B = [(i * 0x85EBCA6B) % _MH_P for i in range(1, 65)]
+
+
+def minhash_base(col: Column | str) -> Column:
+    """Per-shingle 31-bit base hashes (the expensive string-hash pass —
+    stage this as its own projection so it runs once)."""
+    return F.transform(shingles(col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+
+
+def minhash_mins(base: Column, num_hashes: int = 32) -> Column:
+    """Affine-derived MinHash mins over precomputed base hashes."""
+
+    def affine(i: int):
+        # single-arg lambda: F.transform treats a 2-arg callable as
+        # (element, index), which is not what we want here
+        return lambda h: F.pmod(h * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_P))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(base, affine(i))) for i in range(num_hashes)]
     )
 
 
@@ -97,10 +120,18 @@ def lsh_candidate_pairs(
     pairs.  The self-join never materializes n²: only rows sharing a full
     band collide.  Returns (id_a, id_b) with id_a < id_b.
     """
+    from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes)
+    # CPU-heavy per-row work: make sure it spreads across cores even when
+    # the source is one small parquet file (at 100 TB the scan itself
+    # yields enough splits and this repartition collapses to a no-op check)
+    df = ensure_parallelism(df, id_col)
+    # two staged projections: string-hash pass once, then cheap affine mins
     banded = df.select(
-        F.col(id_col), sig.alias("sig")
+        F.col(id_col), minhash_base(text_col).alias("mh_base")
+    ).select(
+        F.col(id_col), minhash_mins(F.col("mh_base"), num_hashes).alias("sig")
     ).select(
         id_col,
         F.posexplode(
@@ -176,7 +207,9 @@ def near_dup_jaccard(
     threshold.  ``sample_mod`` optionally thins the left side for cost
     control.  At scale, prefer lsh_candidate_pairs to generate the pairs
     and use this only as the verify stage."""
-    base = df.select(
+    from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
+
+    base = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         shingles(text_col).alias("sh"),

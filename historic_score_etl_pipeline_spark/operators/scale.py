@@ -1,0 +1,112 @@
+"""Scale utilities (SURVEY.md §4.2, §7-M7): parallelism repair, skew
+salting, bucketed co-located joins.
+
+These are the knobs that matter at 100 TB:
+
+* ``ensure_parallelism`` — CPU-heavy per-row operators (minhash, feature
+  extraction) must not be serialized by a small file count.  At real
+  scale the scan yields thousands of splits and this is a no-op check.
+* ``salted_agg`` — two-phase aggregation for skewed group keys: salt the
+  key, partially aggregate, unsalt, final-aggregate.  The combine must be
+  associative (count/sum/min/max/collect are).
+* ``salted_broadcast_join`` / AQE — for skewed join keys.  AQE's
+  skewJoin handles sort-merge skew automatically (enabled in the session
+  factory); explicit salting remains for deliberate control.
+* ``write_bucketed`` / ``read_bucketed`` — co-locate repeated join/agg
+  keys at rest so the per-query shuffle disappears (the as-of join's
+  history side, SURVEY.md §4.2-G2/E6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer partitions (small files, single-file tables)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups on (key, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 combines the partials.  ``aggs``
+    maps output name → phase-1 aggregate; phase 2 re-combines by these
+    rules: *_count/*_sum → sum, *_min → min, *_max → max.  For avg,
+    aggregate sum and count separately and divide afterwards.
+    """
+    # row-dependent salt (NOT key-dependent — a key-derived salt would put
+    # the hot key back into one bucket)
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    phase1 = salted.groupBy(*group_cols, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+    def combine(name: str) -> Column:
+        if name.endswith(("_count", "_sum", "_n")):
+            return F.sum(name).alias(name)
+        if name.endswith("_min"):
+            return F.min(name).alias(name)
+        if name.endswith("_max"):
+            return F.max(name).alias(name)
+        raise ValueError(
+            f"salted_agg cannot re-combine {name!r}; use *_sum/_count/_min/_max"
+        )
+
+    return phase1.groupBy(*group_cols).agg(*[combine(n) for n in aggs])
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side's key, replicate the small
+    side once per salt value, join on (key, salt).  Only needed when the
+    small side is too big to broadcast outright AND the big side's key is
+    skewed; with broadcast-able dims, plain ``broadcast()`` wins."""
+    salts = small.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
+    )
+    small_s = small.crossJoin(F.broadcast(salts))
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist bucketed+sorted by the hot join/window key: later equi-joins
+    and windows on ``bucket_col`` between same-bucketing tables need no
+    exchange (and no sort, when ``sort_col`` matches the window order)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

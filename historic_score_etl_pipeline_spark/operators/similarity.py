@@ -57,7 +57,9 @@ def brute_force_topk(
     Returns (query_id, corpus_id, cos) with rank ≤ k, deterministic
     tiebreak on corpus id.  Excludes self-matches when ids collide.
     """
-    c = corpus.select(
+    from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
+
+    c = ensure_parallelism(corpus, corpus_id).select(
         F.col(corpus_id).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     q = queries.select(

@@ -18,6 +18,9 @@ core argument for the Spark-first design.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -48,6 +51,12 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """events as a file-source stream (one parquet file = one micro-batch
     unit; at scale this is a date-partitioned landing zone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source_dir):
+        # FileStreamSource requires a directory (its basePath must be a
+        # dir); stage single test files behind a symlinked landing dir.
+        landing = tempfile.mkdtemp(prefix="events_landing_")
+        os.symlink(source_dir, os.path.join(landing, os.path.basename(source_dir)))
+        source_dir = landing
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
