@@ -34,6 +34,7 @@ from historic_score_etl_pipeline_spark.operators.multimodal import (
 )
 from historic_score_etl_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    cosine_near_dup,
     ivf_topk,
 )
 from historic_score_etl_pipeline_spark.operators.text import (
@@ -226,6 +227,27 @@ FROM sh a JOIN sh b
 WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / (len(a.shingles) + len(b.shingles)
                - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.01
+"""
+
+
+# --- K2d: embedding-cosine near-dup (oracle-checked) ----------------------
+
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: thinned-left broadcast against the
+    streamed corpus, cosine ≥ 0.35 (double math, round-4 both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup(emb, "vec_id", threshold=0.35, sample_mod=10)
+
+
+DEDUP_EMBED_COSINE_SQL = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT id_a, id_b, cos4
+FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos4
+      FROM e a JOIN e b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id)
+WHERE cos4 >= 0.35
 """
 
 
@@ -436,6 +458,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_near_minhash": QuerySpec(dedup_near_minhash, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_embed_cosine": QuerySpec(dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
     "sim_topk_cosine": QuerySpec(sim_topk_cosine, SIM_TOPK_COSINE_SQL),
     "sim_topk_cosine_ivf": QuerySpec(sim_topk_cosine_ivf, None),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),

@@ -87,10 +87,55 @@ _MH_A = [(2 * i * 0x9E3779B9 + 1) % _MH_P for i in range(1, 65)]
 _MH_B = [(i * 0x85EBCA6B) % _MH_P for i in range(1, 65)]
 
 
-def minhash_base(col: Column | str) -> Column:
-    """Per-shingle 31-bit base hashes (the expensive string-hash pass —
-    stage this as its own projection so it runs once)."""
-    return F.transform(shingles(col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+def token_hashes(col: Column | str) -> Column:
+    """Per-token 31-bit hashes: each token xxhash64'd ONCE, reduced mod
+    2³¹-1.  The expensive string pass — stage it as its own projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MH_P)))
+
+
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """Shingle hash = affine combination of n consecutive token hashes —
+    pure integer math, no shingle-string allocation, and each token was
+    hashed once (vs. n× when hashing concatenated n-gram strings).
+
+    ``th`` MUST be a materialized column (stage :func:`token_hashes` in a
+    prior ``select``): lambda bodies inline their inputs, so passing the
+    raw token_hashes *expression* here would re-expand it per element
+    access — O(tokens²) work.  Products stay < 2⁶² → ANSI-overflow-safe.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - n, F.lit(0)))
+    combined = F.transform(
+        idx,
+        # F.get is 0-based and null-on-out-of-bounds (docs shorter than n
+        # tokens must not throw under ANSI); coalesce(0) keeps them hashable
+        lambda i: F.pmod(
+            sum(
+                F.coalesce(F.get(th, i + j), F.lit(0)) * F.lit(_MH_A[j])
+                for j in range(1, n)
+            )
+            + F.coalesce(F.get(th, i), F.lit(0)),
+            F.lit(_MH_P),
+        ),
+    )
+    return F.array_distinct(combined)
+
+
+def minhash_base(col: Column | str, n: int = 3) -> Column:
+    """Single-expression convenience form of token_hashes → shingle_hashes.
+
+    Only for one-off use: inside one expression the token-hash array is a
+    lambda-bound value, so no re-expansion happens (zip_with binds it), but
+    perf-critical paths should stage the two projections explicitly as
+    :func:`lsh_candidate_pairs` does."""
+    th = token_hashes(col)
+    # bind th once via transform-over-singleton to avoid re-expansion,
+    # then flatten: transform([th], t -> shingle_hashes(t))[0]
+    return F.get(
+        F.transform(F.array(F.struct(th.alias("h"))), lambda s: shingle_hashes(s["h"], n)),
+        0,
+    )
 
 
 def minhash_mins(base: Column, num_hashes: int = 32) -> Column:
@@ -127,9 +172,13 @@ def lsh_candidate_pairs(
     # the source is one small parquet file (at 100 TB the scan itself
     # yields enough splits and this repartition collapses to a no-op check)
     df = ensure_parallelism(df, id_col)
-    # two staged projections: string-hash pass once, then cheap affine mins
+    # three staged projections (token hash → shingle combine → affine
+    # mins): each stage references the previous as a materialized column,
+    # so nothing is inlined/recomputed per element
     banded = df.select(
-        F.col(id_col), minhash_base(text_col).alias("mh_base")
+        F.col(id_col), token_hashes(text_col).alias("th")
+    ).select(
+        F.col(id_col), shingle_hashes(F.col("th")).alias("mh_base")
     ).select(
         F.col(id_col), minhash_mins(F.col("mh_base"), num_hashes).alias("sig")
     ).select(
@@ -149,9 +198,8 @@ def lsh_candidate_pairs(
         ).alias("pos", "bandrow"),
     ).select(
         id_col,
-        F.xxhash64(F.col("bandrow.band"), F.to_json(F.col("bandrow.vals"))).alias(
-            "bucket"
-        ),
+        # xxhash64 hashes the array column natively — no JSON stringify
+        F.xxhash64(F.col("bandrow.band"), F.col("bandrow.vals")).alias("bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")

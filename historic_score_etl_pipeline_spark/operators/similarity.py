@@ -79,6 +79,44 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    sample_mod: int | None = 10,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SURVEY.md §2K): (id_a, id_b)
+    with id_a < id_b and cosine ≥ threshold.
+
+    The left side is optionally thinned ``sample_mod``× for cost control
+    and broadcast against the streamed corpus — one corpus pass, no
+    shuffle.  At 100 TB, replace the thinning with sign-bit LSH cell
+    blocking (the ``ivf_topk`` quantizer): join on cell, then verify with
+    exact cosine — the same candidates/verify split as MinHash-LSH.
+    Scores in double, round(4) on both filter and output so a
+    double-based SQL oracle agrees exactly.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")
+    )
+    left = (
+        base.where(F.col("id_a") % sample_mod == 0) if sample_mod else base
+    )
+    right = corpus.select(
+        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb")
+    )
+    return (
+        right.join(F.broadcast(left), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos4"),
+        )
+        .where(F.col("cos4") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
