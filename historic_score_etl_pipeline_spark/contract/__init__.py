@@ -37,11 +37,12 @@ def _merged() -> dict[str, QuerySpec]:
         extensions,
         joins,
         scans,
+        surface,
         windows,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (scans, aggregates, joins, windows, extensions):
+    for mod in (scans, aggregates, joins, windows, extensions, surface):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")

@@ -1,0 +1,224 @@
+"""Contract batch 6 — engine-surface widening beyond SURVEY.md §2L.
+
+The reference never needs these (it has no bulk SQL surface at all), but a
+user replacing it with this engine gets the full Spark lattice; each query
+here proves one more physical path with a DuckDB oracle:
+
+* ``agg_cube`` / ``agg_grouping_sets`` — multi-dimensional subtotal plans
+  (``Expand`` operator; one shuffle, no N-pass union).
+* ``agg_percentile_exact`` — exact interpolated percentiles per group.
+* ``agg_approx_distinct`` — HyperLogLog++ cardinality (rows-only: sketch
+  estimates are engine-specific by design).
+* ``join_range_interval`` — non-equi banding join against a tiny interval
+  dim (BroadcastNestedLoopJoin; the 100 TB plan keeps the dim broadcast so
+  the fact side never shuffles).
+* ``window_lag_lead`` — per-key neighbor access (lag/lead) with a total
+  order, the base for sessionization and as-of logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.aggregates import decimal_sum_double
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+
+# --- cube: all 4 subtotal combinations in one Expand pass ------------------
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): Catalyst plans one Expand (4 output
+    rows per input) + one hash aggregate — a single shuffle regardless of
+    how many grouping combinations, which is exactly what survives at
+    100 TB vs unioning 4 separate groupBys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            decimal_sum_double("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- grouping sets: explicit subtotal shapes -------------------------------
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((priority), (status), ()): only the requested
+    combinations are expanded — cheaper than CUBE when the lattice is
+    sparse."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            decimal_sum_double("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# --- exact percentiles per group -------------------------------------------
+
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of quantity per return flag.
+    Exact percentile sorts within each group — fine per-group; at 100 TB
+    with huge groups the library's approx_percentile (KLL-ish sketch,
+    mergeable map-side) is the scale path, kept out of the oracle because
+    sketches are engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+AGG_PERCENTILE_EXACT_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approx distinct (rows-only: HLL estimates differ per engine) ----------
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HyperLogLog++: map-side-mergeable fixed-size
+    sketch, the only sane distinct-count at 100 TB (exact countDistinct
+    re-shuffles every distinct value).  Rows-only: DuckDB's HLL yields a
+    different estimate for the same data, correctly so."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_part_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- range / interval banding join -----------------------------------------
+
+_BANDS = [
+    (1, "low", 0.0, 75000.0),
+    (2, "mid", 75000.0, 150000.0),
+    (3, "high", 150000.0, 1e12),
+]
+
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("band_id", T.IntegerType(), False),
+        T.StructField("band", T.StringType(), False),
+        T.StructField("lo", T.DoubleType(), False),
+        T.StructField("hi", T.DoubleType(), False),
+    ]
+)
+
+
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (SURVEY.md §2E-E6 "range/interval →
+    conditional join"): orders banded by total price against a literal
+    interval dim.  The dim is broadcast → BroadcastNestedLoopJoin with the
+    range predicate evaluated in codegen; the fact side streams through
+    with zero shuffle before the final 3-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, _BANDS_SCHEMA)
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_id", "band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            decimal_sum_double("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+JOIN_RANGE_INTERVAL_SQL = """
+SELECT band_id, band, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN (VALUES (1, 'low', 0.0, 75000.0),
+             (2, 'mid', 75000.0, 150000.0),
+             (3, 'high', 150000.0, 1e12)) b(band_id, band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id, band
+"""
+
+
+# --- lag / lead neighbor access --------------------------------------------
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event per user (SURVEY.md §2H-H2 lag/lead): total
+    order (ts, event_id) makes ties deterministic.  One shuffle on
+    user_id serves both functions — Catalyst collapses same-window
+    functions into a single Window exec."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "agg_percentile_exact": QuerySpec(agg_percentile_exact, AGG_PERCENTILE_EXACT_SQL),
+    "agg_approx_distinct": QuerySpec(agg_approx_distinct, None),
+    "join_range_interval": QuerySpec(join_range_interval, JOIN_RANGE_INTERVAL_SQL),
+    "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_LEAD_SQL),
+}
