@@ -214,7 +214,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- stateful streaming: applyInPandasWithState running totals -------------
+
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs a REAL Structured Streaming job (not a batch twin): events as a
+    file stream → per-user running totals held in the state store via
+    ``applyInPandasWithState`` → AvailableNow trigger → memory sink.
+    Rows-only by necessity: streaming state emission has no ANSI-SQL twin
+    (SURVEY.md §2I-I3)."""
+    import tempfile
+    import uuid
+
+    from historic_score_etl_pipeline_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_totals_stream,
+    )
+
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(
+            stateful_user_totals_stream(events), ckpt, name, "update"
+        )
+    return spark.table(name)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_stateful_totals": QuerySpec(stream_stateful_totals, None),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "agg_percentile_exact": QuerySpec(agg_percentile_exact, AGG_PERCENTILE_EXACT_SQL),

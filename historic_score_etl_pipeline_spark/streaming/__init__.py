@@ -3,6 +3,7 @@ from historic_score_etl_pipeline_spark.streaming.jobs import (
     read_events_stream,
     run_available_now,
     sessionized_stream,
+    stateful_user_totals_stream,
     watermarked_dedup_stream,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "sessionized_stream",
+    "stateful_user_totals_stream",
     "watermarked_dedup_stream",
 ]

@@ -13,6 +13,7 @@ from historic_score_etl_pipeline_spark.streaming import (
     read_events_stream,
     run_available_now,
     sessionized_stream,
+    stateful_user_totals_stream,
     watermarked_dedup_stream,
 )
 
@@ -50,3 +51,42 @@ def test_streaming_session_window(spark):
     got = _run(spark, sessionized_stream(events), "complete")
     assert got.count() > 0
     assert set(got.columns) == {"user_id", "sess_start", "sess_end", "n_events"}
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """State survives micro-batch boundaries: split events into 2 files,
+    1 file per trigger, and check the final per-user totals equal the
+    batch groupBy — which only holds if batch-2 updates fold into
+    batch-1 state rather than restarting from zero."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    half = src.num_rows // 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(src.slice(0, half), str(landing / "part-0.parquet"))
+    pq.write_table(src.slice(half), str(landing / "part-1.parquet"))
+
+    events = read_events_stream(spark, str(landing))
+    got = _run(spark, stateful_user_totals_stream(events), "update")
+
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")["n_events"]
+    )
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+    expected = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    assert final.sort_index().to_dict() == expected.sort_index().to_dict()
+    # at least one user appears in both halves → emitted 2 state updates
+    multi = got.groupBy("user_id").count().where(F.col("count") > 1).count()
+    assert multi > 0
