@@ -35,6 +35,9 @@ def get_spark(app_name: str = "historic-score-etl-pipeline-spark",
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         # Arrow for pandas_udf / mapInPandas / toPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Source-side predicate pushdown for Python DataSources (the
+        # match_pages scraped-page source implements pushFilters).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Keep 128 MB scan splits (parquet row-group aligned) — default, but
         # pinned explicitly because bench timings depend on it.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
