@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
@@ -55,24 +54,40 @@ def flagship_pipeline(
     )
 
     # Per-order history: last 3 line items by ship date (G2/E6 as-of shape),
-    # deterministic tiebreak on l_linenumber.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    # deterministic tiebreak on l_linenumber.  Aggregate-side top-N: collect
+    # the group, sort the (small) array, slice the tail — one hash
+    # aggregate, no window.  A row_number window would sort every shuffle
+    # partition in full; with ~7-line groups the array sort is O(group)
+    # and the full-partition sort disappears — the difference between
+    # sorting 100 TB and sorting nothing.
+    sort_key = F.struct(
+        F.col("l_shipdate").cast("date").alias("ship"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_quantity").alias("qty"),
     )
     recent_lines = (
-        lineitem.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .groupBy("l_orderkey")
-        .agg(
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(sort_key)).alias("all_lines"))
+        .select(
+            "l_orderkey",
+            # last 3 of the ascending (ship, line) order = top-3 most
+            # recent (positive start: slice(-3) on a shorter array yields
+            # []); reprojected to the doc's (line, ship, qty) field shape
+            # and re-sorted to the output's line-first order
             F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("line"),
-                        F.col("l_shipdate").cast("date").alias("ship"),
-                        F.col("l_quantity").alias("qty"),
-                    )
+                F.transform(
+                    F.slice(
+                        F.col("all_lines"),
+                        F.greatest(F.size("all_lines") - 2, F.lit(1)),
+                        3,
+                    ),
+                    lambda s: F.struct(
+                        s["line"].alias("line"),
+                        s["ship"].alias("ship"),
+                        s["qty"].alias("qty"),
+                    ),
                 )
-            ).alias("recent_lines")
+            ).alias("recent_lines"),
         )
     )
 
