@@ -69,3 +69,64 @@ def test_whole_stage_codegen_in_scalar_path(spark, sf_oracle):
     # formatted mode marks codegen stages with "[codegen id : N]"
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_cube_plans_one_expand_one_shuffle(spark, sf_oracle):
+    """CUBE must be a single Expand + aggregate, not a union of groupBys —
+    the difference between 1 and 4 shuffles of the fact table."""
+    from historic_score_etl_pipeline_spark.contract.surface import agg_cube
+
+    plan = explain_str(agg_cube(spark, sf_oracle))
+    # formatted explain prints each node once in the tree ("Expand (2)")
+    # and once in the details ("(2) Expand")
+    assert plan.count("Expand (") == 1
+    assert plan.count("Union") == 0
+    # exactly one exchange for the aggregation
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_range_join_broadcasts_interval_dim(spark, sf_oracle):
+    """The interval dim must broadcast: the fact side streams with no
+    shuffle before the final 3-group aggregate."""
+    from historic_score_etl_pipeline_spark.contract.surface import (
+        join_range_interval,
+    )
+
+    plan = explain_str(join_range_interval(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lag_lead_share_one_window_exec(spark, sf_oracle):
+    """lag + lead over the same (partition, order) spec must collapse into
+    ONE Window exec — one shuffle, one sort, both functions."""
+    from historic_score_etl_pipeline_spark.contract.surface import window_lag_lead
+
+    plan = explain_str(window_lag_lead(spark, sf_oracle))
+    assert plan.count("Window (") == 1, plan
+
+
+def test_flagship_has_no_sort_or_window(spark, sf_oracle):
+    """The flagship top-N-per-key is aggregate-side (array slice), so the
+    physical plan must contain no Sort and no Window — nothing sorts whole
+    partitions at 100 TB."""
+    from historic_score_etl_pipeline_spark.plans.flagship import flagship_pipeline
+
+    plan = explain_str(flagship_pipeline(spark, sf_oracle))
+    assert "Window" not in plan
+    assert "Sort [" not in plan, plan
+    # customer dim must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_fold_compiles_small():
+    """The MinHash fold keeps the expression tree constant-size in
+    num_hashes: the unrolled form grew ~linearly and took ~45 s of codegen
+    at 32 hashes."""
+    from historic_score_etl_pipeline_spark.operators.dedup import minhash_mins
+    from pyspark.sql import functions as F
+
+    small = repr(minhash_mins(F.col("base"), 8)._jc)
+    large = repr(minhash_mins(F.col("base"), 64)._jc)
+    # only the literal num_hashes bound changes, not the tree size
+    assert len(large) < len(small) + 50
