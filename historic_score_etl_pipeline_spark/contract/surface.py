@@ -214,6 +214,157 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- salted two-phase aggregation (skew-proof, exact) ----------------------
+
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting rewrite (operators/scale.salted_agg) proven
+    EXACT: phase 1 aggregates on (key, salt), phase 2 combines partials —
+    the oracle is the plain one-phase GROUP BY.  Decimal accumulation
+    makes the two-phase sum bit-identical regardless of how rows were
+    salted.  At 100 TB this is the fix for a hot key that would pin one
+    reducer (SURVEY.md §4.2)."""
+    from historic_score_etl_pipeline_spark.operators.scale import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "qty_sum": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+            "line_count": F.count("*"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("qty_sum").cast("double").alias("qty_sum"),
+        "line_count",
+    )
+
+
+AGG_SALTED_SUM_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+       count(*) AS line_count
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- positional round-robin record parser -----------------------------------
+
+def parse_token_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's positional record assembler
+    (app/team_utilities.py:76-88: k-th token → (k mod 6)-th column) as a
+    declarative posexplode pivot — SURVEY.md §7 hard part (c): no stateful
+    UDF, fully parallel.  First 12 tokens of each document = 2 six-field
+    records; ``pos div 6`` numbers the record, ``pos mod 6`` the field."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+    exploded = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        F.floor(F.col("pos") / 6).cast("long").alias("rec"),
+        F.pmod(F.col("pos"), F.lit(6)).alias("field"),
+        "tok",
+    )
+    wide = (
+        exploded.groupBy("doc_id", "rec")
+        .pivot("field", list(range(6)))
+        .agg(F.first("tok"))
+    )
+    return wide.select(
+        "doc_id",
+        "rec",
+        *[F.col(str(i)).alias(f"c{i}") for i in range(6)],
+    )
+
+
+PARSE_TOKEN_RECORDS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 12) AS arr
+  FROM documents
+), positioned AS (
+  SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+)
+SELECT doc_id,
+       CAST(pos // 6 AS BIGINT) AS rec,
+       max(CASE WHEN pos % 6 = 0 THEN tok END) AS c0,
+       max(CASE WHEN pos % 6 = 1 THEN tok END) AS c1,
+       max(CASE WHEN pos % 6 = 2 THEN tok END) AS c2,
+       max(CASE WHEN pos % 6 = 3 THEN tok END) AS c3,
+       max(CASE WHEN pos % 6 = 4 THEN tok END) AS c4,
+       max(CASE WHEN pos % 6 = 5 THEN tok END) AS c5
+FROM positioned
+GROUP BY doc_id, pos // 6
+"""
+
+
+# --- CSV / JSON source formats ---------------------------------------------
+
+_FMT_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+
+def _staged_format_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Stage orders into a CSV/JSON landing dir (idempotent overwrite) —
+    the engine's non-parquet ingest path, exercised end-to-end."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"hsep_{fmt}_stage_{tag}")
+    df = load_table(spark, sf_dir, "orders").select(*_FMT_COLS)
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(out)
+    else:
+        writer.json(out)
+    return out
+
+
+_FMT_SCHEMA = (
+    "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+    "o_totalprice double"
+)
+
+
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with an explicit schema (never inferSchema at scale —
+    inference is a full extra pass over 100 TB), aggregated per status."""
+    path = _staged_format_dir(spark, sf_dir, "csv")
+    df = spark.read.schema(_FMT_SCHEMA).option("header", "true").csv(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        decimal_sum_double("o_totalprice").alias("sum_price"),
+    )
+
+
+SCAN_CSV_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with an explicit schema, aggregated per
+    priority.  Same rule as CSV: schema is declared, not inferred."""
+    path = _staged_format_dir(spark, sf_dir, "json")
+    df = spark.read.schema(_FMT_SCHEMA).json(path)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        decimal_sum_double("o_totalprice").alias("sum_price"),
+    )
+
+
+SCAN_JSON_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- stateful streaming: applyInPandasWithState running totals -------------
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +393,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "stream_stateful_totals": QuerySpec(stream_stateful_totals, None),
+    "agg_salted_sum": QuerySpec(agg_salted_sum, AGG_SALTED_SUM_SQL),
+    "parse_token_records": QuerySpec(parse_token_records, PARSE_TOKEN_RECORDS_SQL),
+    "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
+    "scan_json": QuerySpec(scan_json, SCAN_JSON_SQL),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "agg_percentile_exact": QuerySpec(agg_percentile_exact, AGG_PERCENTILE_EXACT_SQL),
