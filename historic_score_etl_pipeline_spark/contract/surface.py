@@ -365,6 +365,127 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- event-time range frame: trailing 7-day rolling sum --------------------
+
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (micros): per-user trailing-7-day spend.
+    rangeBetween frames on the numeric epoch — identical tie semantics in
+    any engine (all rows with equal order value share a frame).  One
+    shuffle on user_id; the frame scan is a single sorted pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_7d"),
+    )
+
+
+WINDOW_RANGE_7D_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS roll_7d
+FROM events
+"""
+
+
+# --- PERMISSIVE/corrupt-tolerant JSON parsing ------------------------------
+
+def json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference tolerates garbage mid-stream (try-int skip,
+    app/team_utilities.py:82-88; failures → sentinel + error record,
+    :458-465).  Declarative form: deterministically mangle ~1/7 of the
+    JSON payloads, parse leniently (invalid → NULL, never a failed job),
+    and report valid/corrupt counts per event type — the corrupt side is
+    the dead-letter channel."""
+    ev = load_table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props)-1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.get_json_object(mangled, "$")
+    k_val = F.get_json_object(mangled, "$.k").cast("int")
+    return (
+        ev.select(
+            "event_type",
+            parsed.isNotNull().alias("is_valid"),
+            k_val.alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+            F.count(F.when(~F.col("is_valid"), 1)).alias("n_corrupt"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+JSON_CORRUPT_TOLERANT_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN substring(props, 1, length(props)-1)
+              ELSE props END AS props
+  FROM events
+)
+SELECT event_type,
+       count(*) FILTER (json_valid(props)) AS n_valid,
+       count(*) FILTER (NOT json_valid(props)) AS n_corrupt,
+       sum(CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END) AS k_sum
+FROM m GROUP BY event_type
+"""
+
+
+# --- time-granularity rollup (hypertable-style) ----------------------------
+
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup — daily and monthly aggregates of the
+    event stream in ONE pass (grouping sets → single Expand + shuffle),
+    the hypertable continuous-aggregate shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        F.date_trunc("month", "ts").cast("date").cast("string").alias("month"),
+        "value",
+    )
+    return (
+        ev.groupingSets([["day"], ["month"]], "day", "month")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+AGG_TIME_ROLLUP_SQL = """
+SELECT coalesce(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+       coalesce(CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR), 'ALL') AS month,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)),
+                        (CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR)))
+"""
+
+
 # --- stateful streaming: applyInPandasWithState running totals -------------
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +515,11 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "stream_stateful_totals": QuerySpec(stream_stateful_totals, None),
     "agg_salted_sum": QuerySpec(agg_salted_sum, AGG_SALTED_SUM_SQL),
+    "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL),
+    "json_corrupt_tolerant": QuerySpec(
+        json_corrupt_tolerant, JSON_CORRUPT_TOLERANT_SQL
+    ),
+    "agg_time_rollup": QuerySpec(agg_time_rollup, AGG_TIME_ROLLUP_SQL),
     "parse_token_records": QuerySpec(parse_token_records, PARSE_TOKEN_RECORDS_SQL),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
     "scan_json": QuerySpec(scan_json, SCAN_JSON_SQL),

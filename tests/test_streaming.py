@@ -53,6 +53,47 @@ def test_streaming_session_window(spark):
     assert set(got.columns) == {"user_id", "sess_start", "sess_end", "n_events"}
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """I3: exactly-once incremental runs.  Run AvailableNow over one file,
+    drop a second file in the landing dir, re-run with the SAME
+    checkpoint: only the new file's rows are appended — the checkpoint
+    replaces the reference's hand-rolled parked-frame salvage
+    (app/team_utilities.py:521-554)."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    half = src.num_rows // 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # parquet sink: the memory sink cannot recover from a checkpoint
+        stream = watermarked_dedup_stream(
+            read_events_stream(spark, str(landing))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(src.slice(0, half), str(landing / "part-0.parquet"))
+    run_once()
+    assert spark.read.parquet(out).count() == half
+
+    pq.write_table(src.slice(half), str(landing / "part-1.parquet"))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == src.num_rows  # second run added ONLY the delta
+    assert got.select("event_id").distinct().count() == src.num_rows
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     """State survives micro-batch boundaries: split events into 2 files,
     1 file per trigger, and check the final per-user totals equal the
