@@ -2,6 +2,7 @@ from historic_score_etl_pipeline_spark.streaming.jobs import (
     daily_counts_stream,
     read_events_stream,
     run_available_now,
+    run_foreach_batch_sink,
     sessionized_stream,
     stateful_user_totals_stream,
     watermarked_dedup_stream,
@@ -11,6 +12,7 @@ __all__ = [
     "daily_counts_stream",
     "read_events_stream",
     "run_available_now",
+    "run_foreach_batch_sink",
     "sessionized_stream",
     "stateful_user_totals_stream",
     "watermarked_dedup_stream",

@@ -165,6 +165,37 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    errors=None,
+) -> None:
+    """Streaming → retried idempotent sink: each micro-batch lands via
+    ``sinks.writer.retried_write`` keyed by the streaming batch id, so a
+    batch replayed after a crash overwrites its own directory instead of
+    appending duplicates.  foreachBatch + deterministic batch-id target +
+    checkpoint = exactly-once end to end — the engine's replacement for
+    the reference's retry-then-park-then-salvage loops
+    (app/team_utilities.py:510-554) and their double-insert hazard."""
+    from historic_score_etl_pipeline_spark.sinks.writer import retried_write
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ok = retried_write(batch_df, out_path, batch_id=str(batch_id), errors=errors)
+        if not ok:
+            # surface the failure to the stream (triggers Spark's retry /
+            # marks the batch uncommitted in the checkpoint)
+            raise RuntimeError(f"sink failed for batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream: DataFrame,
     checkpoint_dir: str,

@@ -12,6 +12,7 @@ from historic_score_etl_pipeline_spark.streaming import (
     daily_counts_stream,
     read_events_stream,
     run_available_now,
+    run_foreach_batch_sink,
     sessionized_stream,
     stateful_user_totals_stream,
     watermarked_dedup_stream,
@@ -92,6 +93,31 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == src.num_rows  # second run added ONLY the delta
     assert got.select("event_id").distinct().count() == src.num_rows
+
+
+def test_foreach_batch_sink_is_idempotent_per_batch(spark, tmp_path):
+    """Streaming → retried_write sink: batch dirs are keyed by streaming
+    batch id; restarting the whole stream from scratch (same input, fresh
+    checkpoint) lands on the same batch ids and replaces rather than
+    duplicates."""
+    from historic_score_etl_pipeline_spark.sinks.writer import ErrorChannel
+
+    out = str(tmp_path / "out")
+    errors = ErrorChannel()
+    events = read_events_stream(spark, f"{SF}/events.parquet")
+    run_foreach_batch_sink(
+        watermarked_dedup_stream(events), out, str(tmp_path / "c1"), errors
+    )
+    n = spark.read.parquet(f"{out}/batch_id=0").count()
+    assert n > 0 and not errors.records
+
+    # fresh checkpoint → the stream replays batch 0 → same target dir,
+    # overwritten not appended
+    events = read_events_stream(spark, f"{SF}/events.parquet")
+    run_foreach_batch_sink(
+        watermarked_dedup_stream(events), out, str(tmp_path / "c2"), errors
+    )
+    assert spark.read.parquet(f"{out}/batch_id=0").count() == n
 
 
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
