@@ -4,6 +4,7 @@ from historic_score_etl_pipeline_spark.streaming.jobs import (
     run_available_now,
     run_foreach_batch_sink,
     sessionized_stream,
+    stateful_sessionizer_stream,
     stateful_user_totals_stream,
     watermarked_dedup_stream,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "run_available_now",
     "run_foreach_batch_sink",
     "sessionized_stream",
+    "stateful_sessionizer_stream",
     "stateful_user_totals_stream",
     "watermarked_dedup_stream",
 ]

@@ -62,9 +62,8 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer `div`: double division loses microsecond precision at ns scale
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
@@ -162,6 +161,84 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
         STATEFUL_TOTALS_STATE,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSIONIZER_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess_start", TimestampType()),
+        StructField("sess_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSIONIZER_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stateful_sessionizer_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Custom sessionizer on ``applyInPandasWithState`` with an EVENT-TIME
+    TIMEOUT: a session closes either when a same-user event arrives past
+    the gap (emitted inline) or when the watermark passes ``last event +
+    gap`` with no new data (emitted by the timeout path — the case
+    ``session_window`` handles internally and imperative state must handle
+    explicitly).  Demonstrates the full state lifecycle: exists/get,
+    update, setTimeoutTimestamp, hasTimedOut, remove."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sess_row(user_id: int, start_us: int, last_us: int, n: int) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "sess_start": [pd.Timestamp(start_us, unit="us")],
+                "sess_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield sess_row(user_id, start_us, last_us, n)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        cur = state.get if state.exists else None
+        for ts in rows["ts"]:
+            ts_us = int(ts.value) // 1000
+            if cur is None:
+                cur = (ts_us, ts_us, 1)
+            elif ts_us - cur[1] <= gap_us:
+                cur = (cur[0], ts_us, cur[2] + 1)
+            else:
+                yield sess_row(user_id, *cur)
+                cur = (ts_us, ts_us, 1)
+        state.update(cur)
+        # close the trailing session when the watermark passes last + gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            SESSIONIZER_OUTPUT,
+            SESSIONIZER_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

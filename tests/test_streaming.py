@@ -14,6 +14,7 @@ from historic_score_etl_pipeline_spark.streaming import (
     run_available_now,
     run_foreach_batch_sink,
     sessionized_stream,
+    stateful_sessionizer_stream,
     stateful_user_totals_stream,
     watermarked_dedup_stream,
 )
@@ -93,6 +94,60 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == src.num_rows  # second run added ONLY the delta
     assert got.select("event_id").distinct().count() == src.num_rows
+
+
+def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
+    """Sessions closed by gap-exceeded AND by event-time timeout both
+    emit, and every emitted session exactly matches batch sessionization
+    of the data that preceded it.  Two time-ordered files: batch 2's
+    events advance the watermark, firing the timeouts for batch 1's
+    trailing sessions."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    df = src.to_pandas().sort_values("ts").reset_index(drop=True)
+    cutoff = len(df) // 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # preserve the original arrow schema (ns timestamps) via row selection
+    import pyarrow as pa
+
+    early_ids = set(df["event_id"][:cutoff])
+    mask = pa.array([eid in early_ids for eid in src["event_id"].to_pylist()])
+    pq.write_table(src.filter(mask), str(landing / "part-0.parquet"))
+    pq.write_table(src.filter(pa.compute.invert(mask)), str(landing / "part-1.parquet"))
+
+    gap_min = 120
+    events = read_events_stream(spark, str(landing))
+    got = _run(
+        spark, stateful_sessionizer_stream(events, gap_minutes=gap_min), "append"
+    ).toPandas()
+    assert len(got) > 0
+    assert (got["sess_end"] >= got["sess_start"]).all()
+    assert (got["n_events"] >= 1).all()
+
+    # batch-side truth for the early half: every emitted session whose
+    # events all lie in batch 1 must appear identically (merged sessions
+    # spanning the cutoff stay in state or match the full-data roll-up,
+    # so compare only sessions that ended before the cutoff time)
+    cutoff_ts = df["ts"].iloc[cutoff]
+    early = spark.createDataFrame(df[:cutoff][["user_id", "ts"]])
+    batch_sessions = (
+        early.groupBy(
+            "user_id", F.session_window("ts", f"{gap_min} minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+        .toPandas()
+    )
+    closed = got[got["sess_end"] < cutoff_ts - pd.Timedelta(minutes=gap_min)]
+    merged = closed.merge(
+        batch_sessions, on=["user_id", "sess_start"], suffixes=("", "_batch")
+    )
+    assert len(merged) == len(closed)  # every closed session exists batch-side
+    assert (merged["n_events"] == merged["n_events_batch"]).all()
 
 
 def test_foreach_batch_sink_is_idempotent_per_batch(spark, tmp_path):
