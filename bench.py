@@ -40,6 +40,8 @@ HEADLINE = [
     "sim_topk_cosine",      # brute-force vector top-k
     "text_quality_score",   # text featurization (codegen path)
     "join_asof_lastn",      # as-of join
+    "window_range_7d",      # event-time RANGE frame
+    "parse_token_records",  # posexplode + div/mod pivot record parser
 ]
 
 
