@@ -486,6 +486,138 @@ GROUP BY GROUPING SETS ((CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)),
 """
 
 
+# --- top-k n-grams per language --------------------------------------------
+
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 word bigrams per language: explode bigrams (map-side, no
+    data growth beyond token count), count per (lang, bigram) — one
+    shuffle — then a top-k window over the (small) distinct-bigram
+    aggregate with a total-order tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select("lang", F.explode(bigrams).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("bg"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "bg", "cnt")
+    )
+
+
+TEXT_NGRAM_TOPK_SQL = """
+SELECT lang, bg, cnt FROM (
+  SELECT lang, bg, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rn
+  FROM (
+    SELECT lang, bg, count(*) AS cnt
+    FROM (
+      SELECT lang, arr[g.i] || ' ' || arr[g.i + 1] AS bg
+      FROM (SELECT lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(arr) - 1, 0))) AS g(i)
+    ) GROUP BY lang, bg
+  )
+) WHERE rn <= 3
+"""
+
+
+# --- regression / correlation aggregates -----------------------------------
+
+def agg_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in statistical aggregates (regr_slope/intercept, corr) of
+    price vs quantity per return flag — single-pass, map-side-partial
+    moments; rounded because moment-accumulation order differs between
+    engines at double precision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+    )
+
+
+AGG_REGR_STATS_SQL = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- pure-SQL end-to-end (the spark.sql surface) ---------------------------
+
+def sql_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through ``spark.sql``: temp views + one SQL string
+    — proves a SQL-first user needs no DataFrame code.  Catalyst compiles
+    this to the identical plan as the DataFrame form (broadcast dims,
+    one aggregate shuffle)."""
+    from historic_score_etl_pipeline_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        """
+    )
+
+
+SQL_END_TO_END_SQL = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name
+"""
+
+
+# --- grouped-map UDAF: per-customer EWMA (applyInPandas) -------------------
+
+def udaf_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2J-J3: a grouped-map Pandas computation for semantics
+    collect_list can't express — the exponentially weighted mean of each
+    customer's order totals in (date, key) order.  Arrow-batched
+    applyInPandas: one shuffle on the group key, vectorized pandas inside
+    each group, never row-at-a-time Python.  Rows-only (recursive EWMA has
+    no ANSI-SQL twin); exactness vs. pandas is pinned in
+    tests/test_grouped_ewma.py."""
+    from historic_score_etl_pipeline_spark.operators.aggregates import grouped_ewma
+
+    orders = load_table(spark, sf_dir, "orders")
+    return grouped_ewma(
+        orders,
+        key="o_custkey",
+        value="o_totalprice",
+        order=["o_orderdate", "o_orderkey"],
+        alpha=0.5,
+    )
+
+
 # --- stateful streaming: applyInPandasWithState running totals -------------
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +652,10 @@ QUERIES: dict[str, QuerySpec] = {
         json_corrupt_tolerant, JSON_CORRUPT_TOLERANT_SQL
     ),
     "agg_time_rollup": QuerySpec(agg_time_rollup, AGG_TIME_ROLLUP_SQL),
+    "text_ngram_topk": QuerySpec(text_ngram_topk, TEXT_NGRAM_TOPK_SQL),
+    "agg_regr_stats": QuerySpec(agg_regr_stats, AGG_REGR_STATS_SQL),
+    "sql_end_to_end": QuerySpec(sql_end_to_end, SQL_END_TO_END_SQL),
+    "udaf_grouped_ewma": QuerySpec(udaf_grouped_ewma, None),
     "parse_token_records": QuerySpec(parse_token_records, PARSE_TOKEN_RECORDS_SQL),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
     "scan_json": QuerySpec(scan_json, SCAN_JSON_SQL),

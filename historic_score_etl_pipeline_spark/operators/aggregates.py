@@ -66,3 +66,36 @@ def pivot_collect_csv(
     for v in pivot_values:
         out = out.withColumnRenamed(v, f"{v}{suffix}")
     return out
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key: str,
+    value: str,
+    order: list[str],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Grouped-map UDAF (SURVEY.md §2J-J3): per-key exponentially weighted
+    mean of ``value`` in ``order`` — recursive state that collect_list /
+    window frames cannot express.
+
+    ``applyInPandas``: Arrow ships each key group to pandas once,
+    ``ewm(...).mean()`` is vectorized C inside the group, and the only
+    shuffle is the groupBy on ``key``.  Each group must fit in one
+    worker's memory — true for per-customer/per-team histories; for
+    monster groups, chunk by time first.
+    """
+    import pandas as pd
+
+    out_schema = f"{key} long, ewma double"
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order)
+        final = pdf[value].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "ewma": [float(final)]})
+
+    return (
+        df.select(key, value, *order)
+        .groupBy(key)
+        .applyInPandas(ewma, out_schema)
+    )
