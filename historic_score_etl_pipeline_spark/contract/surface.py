@@ -618,6 +618,21 @@ def udaf_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- iterative k-means coarse quantizer ------------------------------------
+
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm surface (Lloyd's k-means over the embeddings
+    table, 2 rounds): per round a map-only broadcast-centroid assignment
+    + one (cluster, dim) shuffle to re-average; only the k×d centroid
+    matrix visits the driver.  Rows-only (iterative, no ANSI-SQL twin);
+    numpy step-parity is pinned in tests/test_kmeans.py."""
+    from historic_score_etl_pipeline_spark.operators.similarity import kmeans_lite
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_lite(emb, "vec_id", "embedding", k=8, iters=2)
+    return assigned
+
+
 # --- stateful streaming: applyInPandasWithState running totals -------------
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +671,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_regr_stats": QuerySpec(agg_regr_stats, AGG_REGR_STATS_SQL),
     "sql_end_to_end": QuerySpec(sql_end_to_end, SQL_END_TO_END_SQL),
     "udaf_grouped_ewma": QuerySpec(udaf_grouped_ewma, None),
+    "sim_kmeans_assign": QuerySpec(sim_kmeans_assign, None),
     "parse_token_records": QuerySpec(parse_token_records, PARSE_TOKEN_RECORDS_SQL),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
     "scan_json": QuerySpec(scan_json, SCAN_JSON_SQL),

@@ -182,3 +182,72 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _sq_dist(vec: Column, cen: Column) -> Column:
+    """Squared L2 distance between two double-array columns."""
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment: centroids ship as a broadcast-sized
+    literal, distances evaluate in codegen, argmin by (distance, index)
+    with first-wins tie-break.  Zero shuffle — pure map over the corpus."""
+    cen_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    vec = as_double_array(vec_col)
+    dists = F.transform(cen_lit, lambda c: _sq_dist(vec, c))
+    best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    return corpus.select(
+        F.col(id_col), vec.alias("vec"), best.alias("cluster")
+    )
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means as iterative DataFrame jobs (SURVEY.md §2K-K3's
+    IVF coarse quantizer, trained for real).
+
+    Per iteration: broadcast the k×d centroid literal into a map-only
+    assignment pass, then recompute means with posexplode → one shuffle
+    on (cluster, dim) — the classic two-job Lloyd step.  Only the k×d
+    centroid matrix ever visits the driver (same contract as MLlib's
+    KMeans), so 100 TB of vectors stream through unchanged.  Empty
+    clusters keep their previous centroid.  Init = first k vectors by id
+    (deterministic).
+    """
+    first = corpus.orderBy(id_col).limit(k).select(as_double_array(vec_col).alias("v"))
+    centroids = [list(r["v"]) for r in first.collect()]
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_to_centroids(corpus, id_col, vec_col, centroids)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cluster",
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+            )
+            .collect()
+        )
+        for row in means:
+            centroids[row["cluster"]] = list(row["centroid"])
+    return centroids, assigned.select(id_col, "cluster")

@@ -21,6 +21,37 @@ def test_retried_write_idempotent(spark):
         assert spark.read.parquet(root).count() == 200
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Date/status-partitioned landing writes prune at read time: the
+    reader's partition filter must reach the scan, so a query over one
+    partition never lists or reads the rest — the on-disk analog of the
+    reference's per-league processing (SURVEY.md §4.1 partition pruning)."""
+    import contextlib
+    import io
+
+    from historic_score_etl_pipeline_spark.sinks.writer import retried_write
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert retried_write(
+        orders, str(tmp_path), batch_id="b0", partition_by=["o_orderstatus"]
+    )
+    back = spark.read.parquet(f"{tmp_path}/batch_id=b0").where(
+        F.col("o_orderstatus") == "F"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert "PartitionFilters" in plan
+    assert re.search(r"o_orderstatus#\d+ = F", plan), plan
+    n_f = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
+
+
 def test_error_channel_records_failures(spark):
     df = spark.range(10)
     errors = ErrorChannel()
