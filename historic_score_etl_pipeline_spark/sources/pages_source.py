@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     StringContains,
 )
 
@@ -113,9 +114,47 @@ class MatchPagesReader(DataSourceReader):
             yield row
 
 
+class MatchPagesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the offset is an index into the
+    lexicographically sorted file list, so each micro-batch reads exactly
+    the files that landed since the last checkpointed offset — the
+    continuous form of the reference's every-2-days scrape cadence
+    (app/main.py:19).  Files must land with monotonically sorting names
+    (ts-prefixed), the standard landing-zone contract."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("match_pages source requires option 'path'")
+
+    def _files(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.path) if f.endswith(".txt"))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, names: list[str]) -> Iterator[tuple]:
+        for name in names:
+            with open(os.path.join(self.path, name), encoding="utf-8") as fh:
+                tokens = fh.read().replace("\n", ",").split(",")
+            yield from parse_page_tokens(tokens)
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["idx"]
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator
+        return list(self._rows(files[i:])), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._files()
+        return list(self._rows(files[start["idx"] : end["idx"]]))
+
+
 class MatchPagesDataSource(DataSource):
-    """``spark.read.format("match_pages")`` — scraped-page landing files as
-    a parallel, filter-pushing Spark source."""
+    """``spark.read.format("match_pages")`` / ``spark.readStream.format(
+    "match_pages")`` — scraped-page landing files as a parallel,
+    filter-pushing batch source and an incrementally-offset stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -126,3 +165,6 @@ class MatchPagesDataSource(DataSource):
 
     def reader(self, schema) -> MatchPagesReader:
         return MatchPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> MatchPagesStreamReader:
+        return MatchPagesStreamReader(self.options)

@@ -93,6 +93,40 @@ def test_source_filter_pushdown(spark, landing):
     assert {r["home_club"] for r in df.collect()} == {"Real Madrid", "Sevilla"}
 
 
+def test_stream_reads_incrementally_by_offset(spark, tmp_path):
+    """Streaming form: first run reads the landed pages; a file added
+    afterwards is picked up by a resumed run (same checkpoint) WITHOUT
+    re-reading the old files — the offset is the sorted-file index."""
+    spark.dataSource.register(MatchPagesDataSource)
+    landing = tmp_path / "pages"
+    landing.mkdir()
+    (landing / "0001.txt").write_text(PAGE_A)
+    (landing / "0002.txt").write_text(PAGE_B)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("match_pages")
+            .option("path", str(landing))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 3  # A: 2 rows, B: 1 valid row
+
+    (landing / "0003.txt").write_text(PAGE_C)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # only PAGE_C's single row was appended
+    assert got.where(F.col("league") == "eredivisie").count() == 1
+
+
 def test_push_filters_partitions_supported_from_unsupported():
     reader = MatchPagesReader({"path": "/nonexistent"})
     supported_eq = EqualTo(("league",), "la-liga")
