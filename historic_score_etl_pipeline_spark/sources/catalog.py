@@ -43,6 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    # Timestamp→date/bucket semantics must not depend on the caller's
+    # session timezone (the harness brings its own session): parquet
+    # instants render as UTC wall-clock, exactly how the timezone-naive
+    # DuckDB oracle sees the same values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -138,3 +138,22 @@ def test_repaired_href_predicate(spark):
         F.col("href").contains("referee_summary") & F.col("href").contains("2022-2023")
     ).count()
     assert kept == 1
+
+
+def test_queries_are_timezone_independent(spark, sf_oracle):
+    """The driver harness brings its own session, possibly with a
+    non-UTC timezone: date bucketing/casting must not shift.  load_table
+    pins the session to UTC, so these stay oracle-identical."""
+    from historic_score_etl_pipeline_spark.testing import run_parity
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        results = run_parity(
+            spark,
+            sf_oracle,
+            ["stream_tumbling_daily", "agg_time_rollup", "filter_date_or"],
+        )
+        assert all(r.ok for r in results), [str(r) for r in results]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
