@@ -633,6 +633,35 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+# --- multimodal frame sampling ---------------------------------------------
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 2nd 32-byte chunk — the
+    keyframe-extraction stand-in, decode stubbed): 1 payload → N frame
+    rows inside mapInPandas, then per-media frame counts.  The count is
+    arithmetically predictable from payload length, which the oracle
+    checks: ceil(ceil(len/32)/2)."""
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        sample_frames(media, frame_bytes=32, every_n=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       ((octet_length(encode(text)) + 31) // 32 + 1) // 2 AS n_frames
+FROM documents
+WHERE octet_length(encode(text)) > 0
+"""
+
+
 # --- stateful streaming: applyInPandasWithState running totals -------------
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,6 +701,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sql_end_to_end": QuerySpec(sql_end_to_end, SQL_END_TO_END_SQL),
     "udaf_grouped_ewma": QuerySpec(udaf_grouped_ewma, None),
     "sim_kmeans_assign": QuerySpec(sim_kmeans_assign, None),
+    "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "parse_token_records": QuerySpec(parse_token_records, PARSE_TOKEN_RECORDS_SQL),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
     "scan_json": QuerySpec(scan_json, SCAN_JSON_SQL),

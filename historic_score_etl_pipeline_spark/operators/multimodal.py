@@ -101,3 +101,79 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target_bytes: int, *, fake: bool = True) -> bytes:
+    """STUB resize: a real implementation needs an image codec.  The fake
+    is a deterministic truncate-or-cycle to ``target_bytes`` so the
+    pipeline shape (binary in → binary out, size contract) is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image codec (e.g. Pillow); "
+            "not available in this environment — run with fake=True"
+        )
+    if not payload:
+        return b"\x00" * target_bytes
+    reps = target_bytes // len(payload) + 1
+    return (payload * reps)[:target_bytes]
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Arrow-batched binary→binary transform (the resize plumbing):
+    partition-preserving mapInPandas, payload column replaced, metadata
+    recomputed — the exact shape a Pillow-backed resize drops into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [resize_stub(p, target_bytes, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> DataFrame:
+    """Frame sampling: 1 video payload → N frame rows (every ``every_n``-th
+    fixed-size chunk — the stand-in for keyframe extraction).  The fan-out
+    happens inside mapInPandas, so a 100 GB partition of videos streams
+    out as frame batches without ever materializing all frames of one
+    partition in memory."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                chunks = [
+                    p[o : o + frame_bytes]
+                    for o in range(0, len(p), frame_bytes)
+                ]
+                for i, c in enumerate(chunks[::every_n]):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(c)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_bytes": [len(c) for c in frames],
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
