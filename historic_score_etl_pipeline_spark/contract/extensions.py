@@ -36,6 +36,7 @@ from historic_score_etl_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup,
     ivf_topk,
+    ivf_topk_kmeans,
 )
 from historic_score_etl_pipeline_spark.operators.text import (
     LANG_MARKERS,
@@ -296,6 +297,18 @@ def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, "vec_id", "vec_id", k=5)
 
 
+def sim_topk_cosine_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a kmeans-trained coarse quantizer (Lloyd's on the corpus,
+    broadcast centroids, n_probe nearest-cell scan).  Approximate →
+    rows-only; recall floor vs. brute force asserted in
+    tests/test_similarity.py::test_ivf_kmeans_recall_beats_floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk_kmeans(
+        emb, queries, "vec_id", "vec_id", k=5, n_cells=8, n_probe=3
+    )
+
+
 # --- K4a: token stats -----------------------------------------------------
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +474,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embed_cosine": QuerySpec(dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
     "sim_topk_cosine": QuerySpec(sim_topk_cosine, SIM_TOPK_COSINE_SQL),
     "sim_topk_cosine_ivf": QuerySpec(sim_topk_cosine_ivf, None),
+    "sim_topk_cosine_ivf_trained": QuerySpec(sim_topk_cosine_ivf_trained, None),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SCORE_SQL),

@@ -91,7 +91,11 @@ def token_hashes(col: Column | str) -> Column:
     """Per-token 31-bit hashes: each token xxhash64'd ONCE, reduced mod
     2³¹-1.  The expensive string pass — stage it as its own projection."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    # regex strip, not F.trim: trim() removes only ASCII spaces, so a
+    # tab/newline-padded doc would split into spurious empty tokens and
+    # diverge from Python str.strip()/str.split() semantics
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    toks = F.split(F.lower(stripped), r"\s+")
     return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MH_P)))
 
 

@@ -45,3 +45,20 @@ def test_ivf_recall(spark):
     approx_pairs = {(r.query_id, r.corpus_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_kmeans_recall_beats_floor(spark):
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        ivf_topk_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, "vec_id", "vec_id", k=5)
+    approx = ivf_topk_kmeans(
+        emb, queries, "vec_id", "vec_id", k=5, n_cells=8, n_probe=3
+    )
+    exact_pairs = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"kmeans-IVF recall too low: {recall}"
