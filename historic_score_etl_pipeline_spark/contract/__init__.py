@@ -38,11 +38,12 @@ def _merged() -> dict[str, QuerySpec]:
         joins,
         scans,
         surface,
+        surface2,
         windows,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (scans, aggregates, joins, windows, extensions, surface):
+    for mod in (scans, aggregates, joins, windows, extensions, surface, surface2):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")

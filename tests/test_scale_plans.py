@@ -130,3 +130,36 @@ def test_minhash_fold_compiles_small():
     large = repr(minhash_mins(F.col("base"), 64)._jc)
     # only the literal num_hashes bound changes, not the tree size
     assert len(large) < len(small) + 50
+
+
+def test_unpivot_is_expand_no_shuffle(spark, sf_oracle):
+    """unpivot must plan as a shuffle-free Expand: each input row emits
+    one row per measure inside the same stage — linear at 100 TB."""
+    from historic_score_etl_pipeline_spark.contract.surface2 import unpivot_long
+
+    plan = explain_str(unpivot_long(spark, sf_oracle))
+    assert "Expand" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_hof_pipeline_single_shuffle(spark, sf_oracle):
+    """The higher-order filter→transform→aggregate chain runs inside the
+    projection after ONE groupBy shuffle — no explode + second shuffle."""
+    from historic_score_etl_pipeline_spark.contract.surface2 import (
+        hof_array_pipeline,
+    )
+
+    plan = explain_str(hof_array_pipeline(spark, sf_oracle))
+    # count tree nodes ("Exchange (n)"), not the detail-section echoes
+    assert plan.count("Exchange (") == 1, plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_intersect_is_aggregate_semi_join(spark, sf_oracle):
+    """INTERSECT must not materialize a cross product: distinct-aggregate
+    per side + a hash semi-join."""
+    from historic_score_etl_pipeline_spark.contract.surface2 import setop_intersect
+
+    plan = explain_str(setop_intersect(spark, sf_oracle))
+    assert "NestedLoop" not in plan
+    assert "LeftSemi" in plan, plan
