@@ -39,11 +39,21 @@ def _merged() -> dict[str, QuerySpec]:
         scans,
         surface,
         surface2,
+        surface3,
         windows,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (scans, aggregates, joins, windows, extensions, surface, surface2):
+    for mod in (
+        scans,
+        aggregates,
+        joins,
+        windows,
+        extensions,
+        surface,
+        surface2,
+        surface3,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
