@@ -40,6 +40,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface,
         surface2,
         surface3,
+        surface4,
         windows,
     )
 
@@ -53,6 +54,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface,
         surface2,
         surface3,
+        surface4,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
