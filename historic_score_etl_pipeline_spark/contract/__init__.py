@@ -41,6 +41,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface2,
         surface3,
         surface4,
+        surface5,
         windows,
     )
 
@@ -55,6 +56,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface2,
         surface3,
         surface4,
+        surface5,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
