@@ -42,6 +42,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface3,
         surface4,
         surface5,
+        surface6,
         windows,
     )
 
@@ -57,6 +58,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface3,
         surface4,
         surface5,
+        surface6,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

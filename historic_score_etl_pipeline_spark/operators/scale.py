@@ -92,6 +92,37 @@ def salted_broadcast_join(
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
 
 
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Exact equi-join that survives power-law key skew between two
+    LARGE tables (neither side broadcast-able whole).
+
+    Split-and-conquer: keys above ``hot_threshold`` rows on the left are
+    "hot".  Cold keys take the normal shuffled sort-merge join.  Hot keys
+    — by definition few distinct values, however many rows — join against
+    only their matching right rows via broadcast, so no single reducer
+    ever receives a hot key's full row set.  The union of the two is
+    exactly the plain join's result (each left row lands in exactly one
+    branch; the right side is filtered per-branch by semi/anti on the
+    same key set).
+
+    This is the manual form of AQE's skew-join split; it remains useful
+    when the skew is known ahead of time (the plan avoids the lopsided
+    shuffle instead of repairing it mid-flight) or when AQE's local
+    per-partition view misses global skew.
+    """
+    counts = left.groupBy(on).count()
+    hot_keys = counts.where(F.col("count") > hot_threshold).select(on)
+    cold = left.join(F.broadcast(hot_keys), on, "left_anti")
+    hot = left.join(F.broadcast(hot_keys), on, "left_semi")
+    right_hot = right.join(F.broadcast(hot_keys), on, "left_semi")
+    return cold.join(right, on).unionByName(hot.join(F.broadcast(right_hot), on))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -83,6 +83,41 @@ def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "INTERVAL 2 HOURS",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: each click pairs with the same
+    user's views from the preceding ``lookback`` (attribution shape).
+
+    Both inputs carry watermarks and the join condition bounds event time
+    on BOTH sides — that pair is what lets Spark expire join state; an
+    unbounded condition would buffer both streams forever.  State is
+    keyed by user_id, so at scale the shuffle partitions by user and the
+    per-key state stays O(events within the lookback window).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts >= click_ts - {lookback}"
+            " AND view_ts <= click_ts"
+        ),
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"),
+             "click_ts", "view_ts")
+
+
 def watermarked_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """I2: drop duplicate event_ids within the watermark — the streaming
     form of the reference's tolerate-dirty-input behavior."""
