@@ -43,6 +43,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface4,
         surface5,
         surface6,
+        surface7,
         windows,
     )
 
@@ -59,6 +60,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface4,
         surface5,
         surface6,
+        surface7,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
