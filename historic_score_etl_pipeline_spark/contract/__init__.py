@@ -44,6 +44,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface5,
         surface6,
         surface7,
+        surface8,
         windows,
     )
 
@@ -61,6 +62,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface5,
         surface6,
         surface7,
+        surface8,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -141,3 +141,67 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    Streaming/incremental sinks accrete small files; at 100 TB the task
+    scheduler and the parquet footer reads, not the data, become the
+    cost.  Compaction = read → coalesce to ceil(bytes/target) → rewrite
+    (staged, then swapped, since Spark cannot overwrite its own input).
+    Returns the new file count.  Table formats schedule this as OPTIMIZE;
+    the dataflow is the same.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    scratch = tempfile.mkdtemp(prefix="compact_")
+    try:
+        spark.read.parquet(path).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        spark.read.parquet(scratch).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return sum(
+        1
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def write_sorted_ranges(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_ranges: int = 32,
+) -> None:
+    """Globally range-sorted parquet: repartitionByRange assigns each
+    row to a contiguous key range (range exchange with a sampled
+    boundary map), sortWithinPartitions orders inside each file.  The
+    result: file k's keys all precede file k+1's — downstream merge
+    scans, as-of probes, and min/max-pruned point lookups touch one
+    file instead of all of them."""
+    (
+        df.repartitionByRange(num_ranges, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -99,6 +99,103 @@ def merge_upsert(
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def scd2_apply(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_date",
+) -> None:
+    """Slowly-Changing-Dimension Type 2 fold into the parquet table at
+    ``target_dir``.
+
+    The table carries ``valid_from``, ``valid_to`` (null = open) and
+    ``is_current``.  For each update row: if the key is new, insert an
+    open row; if the key exists and any tracked attribute differs, close
+    the current row at the effective date and open a new one; if the
+    attributes are unchanged, do nothing — which is what makes a retried
+    batch a no-op (the reference's retry loop, ``app/team_utilities.py:
+    510-554``, made safe by construction instead of by hoping).
+
+    All decisions are one join of current rows against the update batch;
+    history rows stream through untouched.  At scale the current slice
+    is |keys| rows (dimension-sized → often broadcast-able), never the
+    full history.
+    """
+    upd = updates.select(
+        *key_cols, *attr_cols, F.col(effective_col).alias("_eff")
+    )
+    exists = os.path.isdir(target_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(target_dir)
+    )
+    if not exists:
+        fresh = upd.select(
+            *key_cols,
+            *attr_cols,
+            F.col("_eff").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        fresh.write.mode("overwrite").parquet(target_dir)
+        return
+
+    base = spark.read.parquet(target_dir)
+    history = base.where(~F.col("is_current"))
+    current = base.where(F.col("is_current"))
+
+    upd_renamed = upd.select(
+        *[F.col(k).alias(f"_u_{k}") for k in key_cols],
+        *[F.col(a).alias(f"_u_{a}") for a in attr_cols],
+        "_eff",
+    )
+    key_match = [F.col(k) == F.col(f"_u_{k}") for k in key_cols]
+    cond = key_match[0]
+    for extra in key_match[1:]:
+        cond = cond & extra
+    joined = current.join(upd_renamed, cond, "full_outer")
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | (
+            ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+        )
+    has_update = F.col("_eff").isNotNull()
+    had_current = F.col("is_current").isNotNull()
+
+    # current rows: closed if a differing update arrived, else kept as-is
+    kept_current = joined.where(had_current).select(
+        *key_cols,
+        *attr_cols,
+        F.col("valid_from"),
+        F.when(has_update & changed, F.col("_eff")).otherwise(
+            F.col("valid_to")
+        ).alias("valid_to"),
+        F.when(has_update & changed, F.lit(False)).otherwise(
+            F.lit(True)
+        ).alias("is_current"),
+    )
+    # update rows that open a new version: changed keys + brand-new keys
+    opened = joined.where(
+        has_update & (changed | ~had_current)
+    ).select(
+        *[F.col(f"_u_{k}").alias(k) for k in key_cols],
+        *[F.col(f"_u_{a}").alias(a) for a in attr_cols],
+        F.col("_eff").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    merged = history.unionByName(kept_current).unionByName(opened)
+
+    scratch = tempfile.mkdtemp(prefix="scd2_stage_")
+    try:
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(target_dir)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _dedupe(
     df: DataFrame, key_cols: list[str], version_col: str | None
 ) -> DataFrame:
