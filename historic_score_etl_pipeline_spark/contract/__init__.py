@@ -45,6 +45,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface6,
         surface7,
         surface8,
+        surface9,
         windows,
     )
 
@@ -63,6 +64,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface6,
         surface7,
         surface8,
+        surface9,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
