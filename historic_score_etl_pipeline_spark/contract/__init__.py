@@ -46,6 +46,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface7,
         surface8,
         surface9,
+        surface10,
         windows,
     )
 
@@ -65,6 +66,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface7,
         surface8,
         surface9,
+        surface10,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
