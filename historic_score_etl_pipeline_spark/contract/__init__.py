@@ -47,6 +47,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface8,
         surface9,
         surface10,
+        surface11,
         windows,
     )
 
@@ -67,6 +68,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface8,
         surface9,
         surface10,
+        surface11,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
