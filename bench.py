@@ -42,6 +42,8 @@ HEADLINE = [
     "join_asof_lastn",      # as-of join
     "window_range_7d",      # event-time RANGE frame
     "parse_token_records",  # posexplode + div/mod pivot record parser
+    "join_asof_backward",   # one-shuffle union-merge as-of join
+    "sessionize_batch",     # gaps-and-islands sessionization
 ]
 
 

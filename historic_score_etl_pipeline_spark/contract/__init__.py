@@ -48,6 +48,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface9,
         surface10,
         surface11,
+        surface12,
         windows,
     )
 
@@ -69,6 +70,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface9,
         surface10,
         surface11,
+        surface12,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

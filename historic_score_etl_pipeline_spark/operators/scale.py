@@ -205,3 +205,58 @@ def write_sorted_ranges(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 10,
+) -> None:
+    """Z-order (Morton-curve) layout: interleave the bits of each
+    column's normalized rank so that file-level min/max statistics stay
+    tight on EVERY listed column at once — multi-dimensional data
+    skipping, where a plain sort only skips on its leading column.
+
+    Two scalable passes: (1) a global min/max aggregate per column
+    (broadcast, one row), (2) normalize each value to a ``bits``-wide
+    bucket, interleave with shift/or inside codegen, range-partition +
+    sort by the z-value.  No UDF, no driver collect of data rows."""
+    mins = [F.min(c).alias(f"__mn_{c}") for c in cols]
+    maxs = [F.max(c).alias(f"__mx_{c}") for c in cols]
+    stats = df.agg(*mins, *maxs)
+    top = (1 << bits) - 1
+    withb = df.crossJoin(F.broadcast(stats))
+    bucketed = []
+    for c in cols:
+        mn = F.col(f"__mn_{c}").cast("double")
+        span = F.col(f"__mx_{c}").cast("double") - mn
+        b = (
+            F.when(span == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(top),
+                    F.floor(
+                        (F.col(c).cast("double") - mn) / span * top
+                    ),
+                )
+            )
+            .cast("long")
+        )
+        bucketed.append(b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucketed):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    drop_cols = [f"__mn_{c}" for c in cols] + [f"__mx_{c}" for c in cols]
+    (
+        withb.withColumn("__z", z)
+        .drop(*drop_cols)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
