@@ -49,6 +49,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface10,
         surface11,
         surface12,
+        surface13,
         windows,
     )
 
@@ -71,6 +72,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface10,
         surface11,
         surface12,
+        surface13,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -228,12 +228,22 @@ def kmeans_lite(
     clusters keep their previous centroid.  Init = first k vectors by id
     (deterministic).
     """
-    first = corpus.orderBy(id_col).limit(k).select(as_double_array(vec_col).alias("v"))
+    # Column-pruned feature set persisted across Lloyd iterations: each
+    # round re-reads executor-local cached blocks (MEMORY_AND_DISK spills
+    # rather than evicts), not the source table — at 100 TB the source
+    # scan happens exactly once.
+    from pyspark import StorageLevel
+
+    feats = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__feat")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    first = feats.orderBy(id_col).limit(k).select(F.col("__feat").alias("v"))
     centroids = [list(r["v"]) for r in first.collect()]
 
     assigned = None
     for _ in range(iters):
-        assigned = assign_to_centroids(corpus, id_col, vec_col, centroids)
+        assigned = assign_to_centroids(feats, id_col, "__feat", centroids)
         means = (
             assigned.select(
                 "cluster", F.posexplode("vec").alias("dim", "x")
@@ -250,6 +260,9 @@ def kmeans_lite(
         )
         for row in means:
             centroids[row["cluster"]] = list(row["centroid"])
+    # Release the cached blocks; the returned assignment recomputes from
+    # the source if acted on later (one scan, converged centroids).
+    feats.unpersist(blocking=False)
     return centroids, assigned.select(id_col, "cluster")
 
 
