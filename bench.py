@@ -84,29 +84,42 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
-        _force(qs[name](spark, warm_dir))
-    _force(flagship_pipeline(spark, warm_dir))
+        try:
+            _force(qs[name](spark, warm_dir))
+        except Exception:
+            pass  # timed pass records the error per-query; don't lose the run
+    try:
+        _force(flagship_pipeline(spark, warm_dir))
+    except Exception:
+        pass
 
     # Timed pass: best of 2 back-to-back runs per query.  Single-JVM
     # local-mode timings at second granularity are noisy (GC, page cache,
     # host scheduling); the min of two runs is the standard steady-state
     # estimator and stabilizes the recorded number without hiding real
     # regressions.
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must not zero the whole
+    # bench (round-1 postmortem — an analysis error at query 7 discarded six
+    # good timings).  Failures record {"err": ...} and the run continues.
+    timings: dict[str, object] = {}
 
-    def _timed(fn) -> float:
+    def _timed(fn) -> object:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(fn())
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(fn())
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            return {"err": f"{type(exc).__name__}: {str(exc)[:300]}"}
         return round(best, 3)
 
     for name in HEADLINE:
         timings[name] = _timed(lambda: qs[name](spark, sf_dir))
     timings["flagship"] = _timed(lambda: flagship_pipeline(spark, sf_dir))
 
-    total = round(sum(timings.values()), 3)
+    ok = [v for v in timings.values() if isinstance(v, (int, float))]
+    total = round(sum(ok), 3)
     print(
         json.dumps(
             {

@@ -78,7 +78,78 @@ def _merged() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    return _rotate(merged)
+
+
+# The external harness verifies only the FIRST 50 registered queries per
+# round, so registration order decides what gets an external correctness
+# row.  Rotation policy: queries externally verified in a past round move
+# to the back (they stay covered by the full-registry run_parity.py gate);
+# never-verified queries move up, with a curated head so the highest-value
+# families (this round: the six repaired timestamp queries, the complete
+# TPC-H suite, the dedup/similarity/text pillar, and the modern join/sink
+# surface) are guaranteed slots.
+_ROUND_HEAD: tuple[str, ...] = (
+    # repaired in round 2 (TIMESTAMP_NTZ ingestion fix) — prove it externally
+    "stream_tumbling_daily", "stream_sliding_count", "stream_session_gap",
+    "window_range_7d", "stream_stream_join", "sessionize_batch",
+    # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_priority_check",
+    "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_revenue",
+    "tpch_q11_important_stock", "tpch_q12_priority_counts",
+    "agg_orders_per_cust_dist", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "subq_scalar_avg_qty", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers", "tpch_q22_idle_customers",
+    # LLM-data-pipeline pillar
+    "dedup_ngram_jaccard", "dedup_embed_cosine", "dedup_connected_components",
+    "sim_topk_cosine", "text_token_stats", "text_lang_id",
+    "text_quality_score", "text_fingerprint", "text_tfidf_topk",
+    "text_ngram_topk",
+    # modern join / sink / SQL surface
+    "join_asof_backward", "join_lateral_topk", "sql_pivot", "join_null_safe",
+    "join_bloom_prune", "join_skew_split", "sink_merge_upsert",
+    "matview_incremental", "sink_scd2_history", "sql_recursive_cte",
+    "json_variant", "parse_token_records",
+)
+
+# Externally verified green in round 1 (CORRECTNESS_r01.json: hash_match or
+# rows-only rows>0) — rotate to the back of the registry.
+_VERIFIED_PAST_ROUNDS: frozenset[str] = frozenset({
+    "scan_parquet", "filter_contains", "project_select_drop",
+    "project_literal", "project_concat_url", "filter_date_or",
+    "filter_nonempty", "filter_isin_anti", "filter_array_len",
+    "str_split_clean", "array_explode", "str_first_token",
+    "str_overtime_sum", "str_classify_case", "date_parse_format",
+    "date_add_tomorrow", "safe_cast_int", "json_collect_struct",
+    "json_parse_extract", "agg_collect_list", "agg_pivot_activity",
+    "agg_collect_struct", "agg_string_concat", "agg_count_group",
+    "agg_sum_avg", "agg_distinct", "agg_rollup", "join_zip_index",
+    "join_left_enrich", "join_multi_hop", "join_semi", "join_anti",
+    "join_theta_contains", "join_hash_equi", "join_asof_lastn",
+    "setop_union", "setop_except", "sort_limit_topn", "window_topk_recent",
+    "window_ffill", "window_running_sum", "udf_classify",
+    "udtf_explode_matches", "sink_write", "dedup_exact",
+    "dedup_near_minhash", "dedup_simhash",
+})
+
+
+def _rotate(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Order the registry: curated head, then never-verified, then verified."""
+    head = [k for k in _ROUND_HEAD if k in merged]
+    mid = [
+        k for k in merged
+        if k not in _ROUND_HEAD and k not in _VERIFIED_PAST_ROUNDS
+    ]
+    back = [
+        k for k in merged
+        if k in _VERIFIED_PAST_ROUNDS and k not in _ROUND_HEAD
+    ]
+    return {k: merged[k] for k in (*head, *mid, *back)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

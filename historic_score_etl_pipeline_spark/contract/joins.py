@@ -212,9 +212,16 @@ GROUP BY o_orderpriority
 def join_asof_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of: for each purchase event, the most recent prior click by the
     same user (the reference's latent "last matches before fixture date",
-    app/team_utilities.py:447).  Conditional join + per-purchase window
-    rank with event_id tiebreak; purchases with no prior click keep NULL
-    (left as-of)."""
+    app/team_utilities.py:447).  Runs on the DEFAULT as-of plan —
+    :func:`operators.joins.asof_backward_join`'s one-shuffle union-merge —
+    so no purchase × all-prior-clicks intermediate ever materializes;
+    purchases with no prior click keep NULL (left as-of).  The oracle below
+    states the naive conditional-join formulation; hash-match proves the
+    merge plan equivalent."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_backward_join,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -223,24 +230,18 @@ def join_asof_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
+        F.col("user_id"),
         F.col("ts").alias("c_ts"),
     )
-    from pyspark.sql.window import Window
-
-    joined = purchases.join(
+    return asof_backward_join(
+        purchases,
         clicks,
-        (purchases.user_id == clicks.c_user) & (clicks.c_ts <= purchases.p_ts),
-        "left",
-    )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("c_ts").desc(), F.col("click_id").desc()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("purchase_id", "user_id", "click_id")
-    )
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        payload_cols=["click_id"],
+        right_tiebreak="click_id",
+    ).select("purchase_id", "user_id", "click_id")
 
 
 JOIN_ASOF_LASTN_SQL = """

@@ -19,22 +19,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: zip_index_join refuses inputs above this size unless overridden — the
+#: global row_number is a single-partition sort, safe only for parity-scale
+#: data.  The scale-safe recipe is to re-key upstream: carry a real join key
+#: from the source (or a per-partition id + partition offset two-level
+#: row_number) instead of aligning by global position.
+ZIP_JOIN_MAX_ROWS = 5_000_000
+
+
 def zip_index_join(
     left: DataFrame,
     right: DataFrame,
     left_order: list[str],
     right_order: list[str],
     how: str = "inner",
+    max_rows: int | None = ZIP_JOIN_MAX_ROWS,
 ) -> DataFrame:
     """Positional (zip) join — aligns two frames by row position
     (app/team_utilities.py:418-420 ``zip(clean, id_match)``).
 
     Spark rows are unordered, so position must be materialized: row_number
-    over an explicit total order.  NOTE: a global row_number is a
-    single-partition sort — correct but serial.  At scale, zip joins
-    should be re-keyed on a real join key upstream; this operator exists
-    for parity with the reference's positional semantics.
+    over an explicit total order.  A global row_number is a
+    single-partition sort — correct but serial, so this operator exists
+    ONLY for parity with the reference's positional semantics and refuses
+    inputs larger than ``max_rows`` (pass ``max_rows=None`` to bypass, at
+    your own risk).  At scale, re-key upstream: emit a real join key at the
+    source, or compute a two-level row_number (row_number within each
+    partition + exclusive running sum of partition sizes) which needs no
+    global sort.
     """
+    if max_rows is not None:
+        for side, df in (("left", left), ("right", right)):
+            n = df.count()
+            if n > max_rows:
+                raise ValueError(
+                    f"zip_index_join: {side} side has {n} rows > max_rows="
+                    f"{max_rows}; a positional join forces a single-partition "
+                    "global sort. Re-key upstream (real join key or two-level "
+                    "row_number) or pass max_rows=None to force."
+                )
     wl = Window.orderBy(*[F.col(c) for c in left_order])
     wr = Window.orderBy(*[F.col(c) for c in right_order])
     lhs = left.withColumn("zip_idx", F.row_number().over(wl))
@@ -58,6 +81,79 @@ def left_enrich(
     return out
 
 
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of LEFT join via the one-shuffle union-merge idiom: for
+    each left row, the payload of the latest right row with ``right_ts <=
+    left_ts`` for the same ``key`` (NULLs when no prior right row).
+
+    This is the DEFAULT as-of plan (the reference's latent "last match
+    before the fixture date", app/team_utilities.py:447).  Both sides are
+    union-merged into one event stream, hash-partitioned by ``key`` once,
+    and a single running ``last(_, ignorenulls=True)`` window carries the
+    payload forward — per-key window state is one scalar per payload
+    column, never a buffered history, and no left-row × all-earlier-history
+    intermediate ever materializes.  Verified equivalent to DuckDB's native
+    ``ASOF LEFT JOIN`` (contract key ``join_asof_backward``).  At 100 TB,
+    bucket both sides by ``key`` and even the one shuffle disappears.
+
+    ``right_tiebreak``: column resolving equal-``right_ts`` right rows (the
+    LAST in (ts, tiebreak) ascending order wins, i.e. the max tiebreak).
+    Output: every ``left`` column + ``payload_cols`` from the right side.
+    """
+    sort_cols = [right_ts] + ([right_tiebreak] if right_tiebreak else [])
+    # Shared merge schema: key, t, tag, payloads (null on left rows), then
+    # the left columns (null on right rows).
+    left_cols = [c for c in left.columns]
+    rhs = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in payload_cols],
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
+            for c in left_cols
+        ],
+        (
+            F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+        ).alias("__tb"),
+    )
+    lhs = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
+            for c in payload_cols
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+        F.lit(None).cast(rhs.schema["__tb"].dataType).alias("__tb"),
+    )
+    merged = rhs.unionByName(lhs)
+    # Right rows sort before left rows at equal t (tag 0 < 1) => inclusive
+    # right_ts <= left_ts; among equal-t right rows the max tiebreak is
+    # LAST in ascending order, so running last() picks it.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged
+    for c in payload_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.where(F.col("__tag") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(c) for c in payload_cols],
+    )
+
+
 def asof_last_n(
     left: DataFrame,
     right: DataFrame,
@@ -68,13 +164,74 @@ def asof_last_n(
     tiebreak: str | None = None,
     right_cols: list[str] | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest ``n`` right rows with
-    ``right_ts <= left_ts`` within the same ``partition_key``.
+    """As-of join, last ``n`` right rows per left row.
 
-    The reference's latent "last 10 games before the fixture"
-    (app/team_utilities.py:447).  Implemented as conditional join +
-    window rank with a total-order tiebreak.  At 100 TB both sides
-    should be bucketed by ``partition_key``.
+    ``n == 1`` delegates to :func:`asof_backward_join` (the one-shuffle
+    union-merge plan).  ``n > 1`` uses rank + join-back: rank right rows
+    per key once, carry the running max rank through the same union-merge,
+    then explode the last-``n`` rank range and equi-join back — cost is
+    O(n) output rows per left row, never left × all-earlier-history (the
+    conditional-join formulation this replaced materialized every prior
+    right row per left row before ranking; see
+    :func:`asof_last_n_conditional`).
+    """
+    payload = right_cols or [c for c in right.columns if c != partition_key]
+    if n == 1:
+        return asof_backward_join(
+            left, right, partition_key, left_ts, right_ts, payload,
+            right_tiebreak=tiebreak,
+        )
+    order = [F.col(right_ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w_rank = Window.partitionBy(partition_key).orderBy(*order)
+    ranked = right.withColumn("__r_rn", F.row_number().over(w_rank))
+    # Running max rank at each left timestamp via union-merge on the key.
+    left_ranked = asof_backward_join(
+        left, ranked, partition_key, left_ts, right_ts, ["__r_rn"],
+        right_tiebreak=tiebreak,
+    )
+    exploded = left_ranked.withColumn(
+        "__want_rn",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__r_rn") - (n - 1), F.lit(1)),
+                F.col("__r_rn"),
+            )
+        ),
+    )
+    no_match = left_ranked.where(F.col("__r_rn").isNull()).drop("__r_rn")
+    rk = ranked.select(
+        F.col(partition_key).alias("__rk"),
+        F.col("__r_rn").alias("__rk_rn"),
+        *[F.col(c) for c in payload],
+    )
+    matched = exploded.join(
+        rk,
+        (exploded[partition_key] == rk["__rk"])
+        & (exploded["__want_rn"] == rk["__rk_rn"]),
+        "inner",
+    ).drop("__rk", "__rk_rn", "__want_rn", "__r_rn")
+    for c in payload:
+        no_match = no_match.withColumn(
+            c, F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    return matched.unionByName(no_match)
+
+
+def asof_last_n_conditional(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_ts: str,
+    right_ts: str,
+    n: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """DIDACTIC variant — conditional join + window rank.  Materializes
+    every left-row × all-earlier-history pair before the rank filter, which
+    is explosive on high-fanout keys; kept only to document the naive
+    formulation :func:`asof_last_n` replaces.  Do not use at scale.
     """
     lhs = left.alias("l")
     rhs = right.alias("r")
@@ -85,15 +242,9 @@ def asof_last_n(
     order = [F.col(f"r.{right_ts}").desc()]
     if tiebreak:
         order.append(F.col(f"r.{tiebreak}").desc())
-    w = Window.partitionBy(*[F.col(c) for c in _left_key_cols(left)]).orderBy(*order)
+    w = Window.partitionBy(F.col(f"l.{left.columns[0]}")).orderBy(*order)
     ranked = joined.withColumn("asof_rn", F.row_number().over(w))
     return ranked.where((F.col("asof_rn") <= n) | F.col(f"r.{right_ts}").isNull())
-
-
-def _left_key_cols(left: DataFrame) -> list[str]:
-    # Internal: partition the rank window by the left row identity; caller
-    # guarantees the first column is a unique key.
-    return [f"l.{left.columns[0]}"]
 
 
 def theta_contains_join(

@@ -40,6 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and rebuild a microsecond timestamp column — the same truncation DuckDB
     applies when casting ns → its microsecond-precision TIMESTAMP, keeping
     oracle parity.
+
+    The ``ts`` column is normalized to plain ``TIMESTAMP`` no matter how the
+    caller's session reads the file.  Three ingestion shapes exist in the
+    wild: (a) nanos-as-long → ``bigint`` (our sessions set the legacy conf),
+    (b) ``timestamp[us]`` with no TZ metadata → ``TIMESTAMP_NTZ`` under
+    Spark 4's ``spark.sql.parquet.inferTimestampNTZ.enabled`` (the harness
+    session), (c) plain ``TIMESTAMP``.  The reference's date handling is
+    wall-clock-naive throughout (``app/team_utilities.py:433``,
+    ``app/ref_utilities.py:104``), so NTZ-as-UTC is the correct reading:
+    under the pinned UTC session TZ the NTZ→TIMESTAMP cast is value-exact,
+    and every downstream ``unix_micros(ts)`` call site sees one stable type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
@@ -54,11 +65,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer `div`, not `/1000` double division: at ~1.7e18 ns a
             # double has 256 ns spacing, so float division truncates to the
             # WRONG microsecond for ~half the values
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4 NTZ inference (harness session): wall clock is UTC by
+            # construction, and the session TZ is pinned UTC above, so this
+            # cast is value-exact and restores the TIMESTAMP type every
+            # downstream unix_micros()/cast-to-bigint call site requires.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -32,38 +32,73 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Explicit schema: streaming file sources cannot infer, and the events
-# parquet carries nanos timestamps that must be read as long first
-# (see sources.catalog.load_table).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long, converted below
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Explicit schemas: streaming file sources cannot infer.  The events
+# landing zone has appeared in two physical shapes (see
+# sources.catalog.load_table): nanosecond timestamps (must be read as
+# long, then converted) and plain microsecond timestamps (declared
+# TimestampType — an explicit schema also sidesteps TIMESTAMP_NTZ
+# inference).  ``read_events_stream`` probes the footer and picks.
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_STREAM_SCHEMA = _events_schema(TimestampType())
+EVENTS_STREAM_SCHEMA_NANOS = _events_schema(LongType())
+
+
+def _events_are_nanos(source_dir: str) -> bool:
+    """Probe one parquet footer for the physical ts type (driver-side,
+    metadata-only — no data read).  Homogeneous landing zones only, which
+    a real deployment enforces at ingest."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(source_dir):
+        sample = source_dir
+    else:
+        files = [
+            os.path.join(source_dir, f)
+            for f in sorted(os.listdir(source_dir))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return False
+        sample = files[0]
+    try:
+        return "ns" in str(pq.read_schema(sample).field("ts").type)
+    except Exception:
+        return False
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """events as a file-source stream (one parquet file = one micro-batch
     unit; at scale this is a date-partitioned landing zone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = _events_are_nanos(source_dir)
     if os.path.isfile(source_dir):
         # FileStreamSource requires a directory (its basePath must be a
         # dir); stage single test files behind a symlinked landing dir.
         landing = tempfile.mkdtemp(prefix="events_landing_")
         os.symlink(source_dir, os.path.join(landing, os.path.basename(source_dir)))
         source_dir = landing
+    schema = EVENTS_STREAM_SCHEMA_NANOS if nanos else EVENTS_STREAM_SCHEMA
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    # integer `div`: double division loses microsecond precision at ns scale
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        # integer `div`: double division loses µs precision at ns scale
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:

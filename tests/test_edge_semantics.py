@@ -157,3 +157,32 @@ def test_queries_are_timezone_independent(spark, sf_oracle):
         assert all(r.ok for r in results), [str(r) for r in results]
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_events_ts_normalized_under_ntz_inference(spark, sf_oracle):
+    """Round-1 postmortem: the harness session reads events.parquet
+    (timestamp[us], no TZ metadata) as TIMESTAMP_NTZ under Spark 4 NTZ
+    inference, and every unix_micros(ts) call site failed analysis.
+    load_table must hand every caller a plain TIMESTAMP ts regardless of
+    session conf, with identical wall-clock values."""
+    from pyspark.sql import functions as F
+
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        df = load_table(spark, sf_oracle, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        # the round-1 failing expression now resolves and yields real values
+        n = df.where(F.unix_micros("ts") > 0).count()
+        assert n == df.count()
+        # value-exactness vs the raw NTZ wall clock (session pinned UTC)
+        raw = spark.read.parquet(f"{sf_oracle}/events.parquet")
+        if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+            a = df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+            b = raw.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+            assert a.exceptAll(b).count() == 0
+    finally:
+        spark.conf.set(key, original)

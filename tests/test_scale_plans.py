@@ -163,3 +163,65 @@ def test_intersect_is_aggregate_semi_join(spark, sf_oracle):
     plan = explain_str(setop_intersect(spark, sf_oracle))
     assert "NestedLoop" not in plan
     assert "LeftSemi" in plan, plan
+
+
+def test_asof_lastn_is_single_window_no_join(spark, sf_oracle):
+    """The default as-of plan (union-merge) must contain exactly ONE Window
+    and NO join operator — the round-1 conditional-join formulation
+    materialized every purchase × all-prior-clicks pair before ranking."""
+    from historic_score_etl_pipeline_spark.contract.joins import join_asof_lastn
+
+    plan = explain_str(join_asof_lastn(spark, sf_oracle))
+    assert plan.count("Window (") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_asof_last_n_generic_matches_conditional(spark, sf_oracle):
+    """asof_last_n (rank + join-back for n>1) must agree row-for-row with
+    the didactic conditional-join variant on real data."""
+    from pyspark.sql import functions as F
+
+    from historic_score_etl_pipeline_spark.operators.joins import asof_last_n
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("cid")
+    )
+    got = asof_last_n(
+        purchases, clicks, "user_id", "p_ts", "c_ts",
+        n=3, tiebreak="cid", right_cols=["cid"],
+    ).select("pid", "cid")
+    purchases.createOrReplaceTempView("asof_p")
+    clicks.createOrReplaceTempView("asof_c")
+    want = spark.sql(
+        """
+        SELECT pid, cid FROM (
+          SELECT p.pid, c.cid,
+                 row_number() OVER (PARTITION BY p.pid
+                                    ORDER BY c.c_ts DESC, c.cid DESC) AS rn
+          FROM asof_p p LEFT JOIN asof_c c
+            ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+        ) WHERE rn <= 3 OR cid IS NULL
+        """
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_zip_join_guard_fires(spark):
+    """zip_index_join must refuse oversized inputs — the global row_number
+    is a single-partition sort, parity-only by contract."""
+    import pytest
+
+    from historic_score_etl_pipeline_spark.operators.joins import zip_index_join
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="single-partition global sort"):
+        zip_index_join(df, df, ["k"], ["k"], max_rows=10)
+    # under the threshold it still works
+    out = zip_index_join(df.limit(5), df.limit(5), ["k"], ["k"], max_rows=10)
+    assert out.count() == 5
