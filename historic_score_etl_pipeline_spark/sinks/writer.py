@@ -100,8 +100,15 @@ def jdbc_write(
     **options: str,
 ) -> None:
     """JDBC sink parity with the reference's SQLAlchemy ``to_sql`` batch
-    append (app/team_utilities.py:363-365).  Untested here (no database in
-    the container); the parquet path above is the tested twin."""
+    append (app/team_utilities.py:363-365; ``batchsize`` is the Spark twin
+    of its "multiple rows at a time" batching, app/team_utilities.py:329).
+
+    Integration-tested against embedded Apache Derby (on Spark's own
+    classpath) in tests/test_jdbc_sink.py — a real ``format("jdbc")``
+    write + read-back, including the append-mode double-insert hazard the
+    reference's retry loop has (app/team_utilities.py:510-522) and this
+    engine's parquet batch-id writer avoids.  Against a production
+    Postgres only the url/driver options change."""
     (
         df.write.format("jdbc")
         .option("url", url)
