@@ -50,6 +50,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface11,
         surface12,
         surface13,
+        surface14,
         windows,
     )
 
@@ -73,6 +74,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface11,
         surface12,
         surface13,
+        surface14,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -110,11 +112,15 @@ _ROUND_HEAD: tuple[str, ...] = (
     "sim_topk_cosine", "text_token_stats", "text_lang_id",
     "text_quality_score", "text_fingerprint", "text_tfidf_topk",
     "text_ngram_topk",
-    # modern join / sink / SQL surface
+    # modern join / sink surface
     "join_asof_backward", "join_lateral_topk", "sql_pivot", "join_null_safe",
     "join_bloom_prune", "join_skew_split", "sink_merge_upsert",
-    "matview_incremental", "sink_scd2_history", "sql_recursive_cte",
-    "json_variant", "parse_token_records",
+    # batch-19 training-data curation ops (new this round, zero history;
+    # displaced keys — parse_token_records, json_variant, sql_recursive_cte,
+    # matview_incremental, sink_scd2_history — were judge-verified green by
+    # an out-of-band parity run in round 1 and stay covered by run_parity)
+    "text_pack_shards", "text_pii_redact", "dedup_contamination",
+    "sample_stratified_hash", "shuffle_shard_pos",
 )
 
 # Externally verified green in round 1 (CORRECTNESS_r01.json: hash_match or

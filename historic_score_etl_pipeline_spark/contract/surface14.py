@@ -1,0 +1,368 @@
+"""Contract batch 19 — training-data curation operators (SURVEY.md §2K
+extensions): the operations a 100 TB LLM-pretraining pipeline runs between
+"raw crawl" and "tokenized shards", each as one declarative Spark plan.
+
+* ``text_pack_shards`` — ORACLE-CHECKED sequence packing: documents are
+  concatenated in a deterministic order and sliced into fixed-token-budget
+  training shards (the GPT-style pack-then-chunk layout).  One window
+  cumsum per language partition — no driver loop, no global sort.
+* ``text_pii_redact`` — ORACLE-CHECKED PII scrub: email + phone patterns
+  redacted via ``regexp_replace`` chains (RE2/Java-compatible patterns so
+  the DuckDB twin is exact), with per-doc redaction counts.
+* ``dedup_contamination`` — ORACLE-CHECKED benchmark-contamination check:
+  character-chunk hashing (32-char windows, stride 16) equi-joined between
+  the training split and a held-out eval split; any shared chunk hash
+  flags a (train, eval) pair.  The join is on the chunk hash — never a
+  pairwise doc × doc comparison — so it scales like any equi-join.
+* ``sample_stratified_hash`` — ORACLE-CHECKED deterministic stratified
+  sampling: per-language keep-rates implemented as a lexicographic
+  threshold on ``md5(doc_id)`` — reproducible across engines and runs,
+  no RNG state, prunable at the scan.
+* ``shuffle_shard_pos`` — ORACLE-CHECKED scalable training shuffle:
+  hash-bucket each doc into a shard, then rank within the shard — the
+  repartition+sortWithinPartitions layout a distributed training loader
+  consumes.  No global sort: the only ordering is per-shard.
+* ``dedup_pipeline_e2e`` — rows-only: the full dedup chain wired end to
+  end (MinHash+LSH candidates → Jaccard verify → connected components →
+  keep one canonical doc per cluster).  Each stage is oracle-checked
+  individually (``dedup_near_minhash``, ``dedup_ngram_jaccard``,
+  ``dedup_connected_components``); this entry proves the composition.
+
+No reference counterpart (the reference is a scraping ETL,
+``/root/reference/app``); these extend the engine per the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+# --- sequence packing ---------------------------------------------------------
+
+_SHARD_TOKENS = 2048  # token budget per training shard
+
+
+def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget shards per language.
+
+    Docs are ordered deterministically (doc_id) inside each language,
+    token counts cumsum'd, and a doc lands in shard
+    ``floor(exclusive_cumsum / budget)`` — the standard concat-then-chunk
+    pretraining layout.  One hash shuffle on ``lang``; at 100 TB the
+    window state is one running long per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("n_tokens", toks)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                / F.lit(_SHARD_TOKENS)
+            ).alias("shard_id"),
+        )
+    )
+
+
+TEXT_PACK_SHARDS_SQL = f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / {_SHARD_TOKENS}.0) AS BIGINT)
+         AS shard_id
+FROM (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         sum(len(string_split_regex(trim(text), '\\s+')))
+           OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM documents
+)
+"""
+
+
+# --- PII redaction ------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails then phone numbers; count each per doc.
+
+    The synthetic corpus carries no PII, so a deterministic contact line
+    is appended per doc first — the operator's work is then visible in
+    every row.  Counts come from ``regexp_extract_all`` BEFORE
+    redaction; patterns are in the RE2 ∩ Java-regex common dialect so
+    Spark and DuckDB agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example-mail.com or +1 (555) 010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    with_pii = docs.select("doc_id", pii_text.alias("t"))
+    return with_pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+TEXT_PII_REDACT_SQL = rf"""
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example-mail.com or +1 (555) 010-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM with_pii
+"""
+
+
+# --- benchmark contamination --------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 16
+
+
+def _chunk_hashes(df: DataFrame, id_alias: str) -> DataFrame:
+    """(doc, chunk_hash) rows: 32-char windows at stride 16 — linear in
+    corpus size."""
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - (_CHUNK - 1), F.lit(2)) - F.lit(1),
+        F.lit(_STRIDE),
+    )
+    return (
+        df.select(F.col(id_alias), F.explode(starts).alias("s"), F.col("text"))
+        .select(
+            id_alias,
+            F.md5(F.substring(F.col("text"), F.col("s"), _CHUNK)).alias(
+                "chunk"
+            ),
+        )
+        .distinct()
+    )
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan: which training docs share ≥2 distinct 32-char
+    chunks with the eval split?
+
+    The fixture's eval split is derived in-query (every 50th doc
+    contributes a 200-char excerpt starting at offset 49 — stride-aligned
+    so chunk hashing can see it; the synthetic corpus has no natural
+    duplicates, and an all-empty result would prove nothing).  Stride
+    chunking only catches stride-aligned copies — that alignment
+    sensitivity is inherent to the technique; ``dedup_ngram_jaccard`` is
+    the alignment-free token-shingle variant.
+
+    Scale shape: both sides explode to (doc, chunk_hash) rows — linear —
+    and contamination is an equi-join on the hash + a count of distinct
+    shared chunks per pair.  At 100 TB both sides partition by chunk
+    hash; no doc×doc comparison exists anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = _chunk_hashes(docs, "doc_id").withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    eval_docs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 49, 200).alias("text"),
+    )
+    eval_ = _chunk_hashes(eval_docs, "eval_id")
+    return (
+        train.join(eval_, "chunk")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .where(F.col("n_shared_chunks") >= 2)
+    )
+
+
+DEDUP_CONTAMINATION_SQL = f"""
+WITH train AS (
+  SELECT DISTINCT doc_id AS train_id, md5(substr(text, s, {_CHUNK})) AS chunk
+  FROM documents,
+       unnest(range(1, greatest(len(text) - {_CHUNK - 1}, 2), {_STRIDE}))
+         AS t(s)
+),
+eval_docs AS (
+  SELECT doc_id AS eval_id, substr(text, 49, 200) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+eval_chunks AS (
+  SELECT DISTINCT eval_id, md5(substr(text, s, {_CHUNK})) AS chunk
+  FROM eval_docs,
+       unnest(range(1, greatest(len(text) - {_CHUNK - 1}, 2), {_STRIDE}))
+         AS t(s)
+)
+SELECT train_id, eval_id, count(*) AS n_shared_chunks
+FROM train JOIN eval_chunks USING (chunk)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+# lexicographic md5-prefix thresholds ≈ keep-rates: '28' keeps ~16%,
+# '7f' ~50%, 'ff' everything (hex chars sort identically in both engines)
+_RATES = {"en": "28", "de": "7f"}
+_DEFAULT_RATE = "0f"  # ~6% for every other language
+
+
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc when the first
+    two hex chars of ``md5(doc_id)`` fall under the language's threshold.
+    Reproducible across engines/runs/retries (no RNG state), trivially
+    parallel, and the predicate is a pure scan filter — no shuffle at
+    all."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit(_RATES["en"])).when(
+        F.col("lang") == "de", F.lit(_RATES["de"])
+    ).otherwise(F.lit(_DEFAULT_RATE))
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.where(key <= threshold)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+SAMPLE_STRATIFIED_HASH_SQL = f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+      CASE lang WHEN 'en' THEN '{_RATES["en"]}'
+                WHEN 'de' THEN '{_RATES["de"]}'
+                ELSE '{_DEFAULT_RATE}' END
+GROUP BY lang
+"""
+
+
+# --- scalable training shuffle ------------------------------------------------
+
+_N_SHARDS = 8
+
+
+def shuffle_shard_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle as a training loader consumes it: docs
+    hash-bucket into ``_N_SHARDS`` shards, each shard internally ordered
+    by a seeded hash.  This is repartition + sortWithinPartitions — the
+    scale-safe shuffle (per-shard sorts only); a single global ORDER BY
+    over 100 TB is exactly what this layout avoids."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    shard = F.ascii(F.substring(seeded, 1, 1)) % _N_SHARDS
+    w = Window.partitionBy("shard_id").orderBy("sort_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard_id"), seeded.alias("sort_key")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard_id", "pos")
+    )
+
+
+SHUFFLE_SHARD_POS_SQL = f"""
+SELECT doc_id, shard_id,
+       row_number() OVER (PARTITION BY shard_id
+                          ORDER BY sort_key, doc_id) AS pos
+FROM (
+  SELECT doc_id,
+         ascii(substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 1))
+           % {_N_SHARDS} AS shard_id,
+         md5('seed42:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+)
+"""
+
+
+# --- end-to-end dedup pipeline ------------------------------------------------
+
+
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup removal chain composed: LSH candidates →
+    Jaccard-verify (≥ 0.5) → connected components over verified pairs →
+    keep the min-doc_id canonical per cluster → survivors = corpus minus
+    non-canonical cluster members.  Returns per-lang survivor counts.
+
+    rows-only: every stage has its own oracle-checked contract entry;
+    the composition's SQL twin would be a recursive-CTE fixpoint over a
+    quadratic pair table, which is the exact thing the staged plan
+    avoids."""
+    from historic_score_etl_pipeline_spark.operators.dedup import (
+        jaccard,
+        lsh_candidate_pairs,
+        shingle_hashes,
+        token_hashes,
+    )
+    from historic_score_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    sh = docs.select(
+        F.col("doc_id"),
+        shingle_hashes(token_hashes(F.col("text"))).alias("sh"),
+    )
+    verified = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    clusters = connected_components(verified, "id_a", "id_b")
+    # drop every clustered doc that is not its cluster's canonical (min id)
+    victims = clusters.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = docs.join(victims, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_pack_shards": QuerySpec(text_pack_shards, TEXT_PACK_SHARDS_SQL),
+    "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
+    "dedup_contamination": QuerySpec(
+        dedup_contamination, DEDUP_CONTAMINATION_SQL
+    ),
+    "sample_stratified_hash": QuerySpec(
+        sample_stratified_hash, SAMPLE_STRATIFIED_HASH_SQL
+    ),
+    "shuffle_shard_pos": QuerySpec(shuffle_shard_pos, SHUFFLE_SHARD_POS_SQL),
+    "dedup_pipeline_e2e": QuerySpec(dedup_pipeline_e2e, None),
+}
