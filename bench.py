@@ -44,6 +44,10 @@ HEADLINE = [
     "parse_token_records",  # posexplode + div/mod pivot record parser
     "join_asof_backward",   # one-shuffle union-merge as-of join
     "sessionize_batch",     # gaps-and-islands sessionization
+    "text_pack_shards",     # sequence packing (window cumsum per lang)
+    "dedup_contamination",  # chunk-hash contamination equi-join
+    "shuffle_shard_pos",    # training shuffle (shard + rank-within-shard)
+    "dedup_pipeline_e2e",   # LSH → verify → components → survivors
 ]
 
 

@@ -354,8 +354,98 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+# --- quality-filter dead-letter split ----------------------------------------
+
+_MIN_TOKENS = 40
+_MIN_STOPWORD_RATIO = 0.05
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gate with an explicit dead-letter verdict:
+    every doc gets ``keep``/``drop`` plus a deterministic comma-joined
+    reason list — the filter never silently discards (the engine-wide
+    error-channel discipline, sinks/writer.py, applied to curation).
+    Pure column expressions; the whole gate is one codegen'd projection."""
+    from historic_score_etl_pipeline_spark.operators.text import (
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    too_short = q["n_tokens"] < _MIN_TOKENS
+    low_stop = q["stopword_ratio"] < _MIN_STOPWORD_RATIO
+    reasons = F.concat_ws(
+        ",",
+        F.when(too_short, F.lit("too_short")),
+        F.when(low_stop, F.lit("low_stopword")),
+    )
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        F.when(too_short | low_stop, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        reasons.alias("reasons"),
+    )
+
+
+# mirrors operators/text.py STOPWORDS_EN
+_STOPS = "'the','a','an','of','and','or','in','on','to','is'"
+
+TEXT_QUALITY_FILTER_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN round(CAST(len(list_filter(toks, t -> t IN ({_STOPS})))
+                              AS DOUBLE) / len(toks), 6)
+              ELSE 0.0 END AS stopword_ratio
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+)
+SELECT doc_id, n_tokens, stopword_ratio,
+       CASE WHEN n_tokens < {_MIN_TOKENS}
+              OR stopword_ratio < {_MIN_STOPWORD_RATIO}
+            THEN 'drop' ELSE 'keep' END AS verdict,
+       concat_ws(',',
+         CASE WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN stopword_ratio < {_MIN_STOPWORD_RATIO}
+              THEN 'low_stopword' END) AS reasons
+FROM feat
+"""
+
+
+# --- incremental near-dup (arriving batch vs corpus index) --------------------
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving-batch dedup shape: docs with ``doc_id >= 400`` are the
+    "new batch", probed against the signature index of the first 400 —
+    only new×existing collisions, cost O(|batch| × bands) regardless of
+    corpus size.  rows-only: the MinHash signature pipeline is not
+    SQL-expressible; collision recall is unit-tested with planted
+    duplicates (tests/test_surface14.py)."""
+    from historic_score_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    pairs = lsh_candidate_pairs_incremental(existing, new, "doc_id", "text")
+    return pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_collisions"),
+        F.min("existing_id").alias("first_existing_id"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_pack_shards": QuerySpec(text_pack_shards, TEXT_PACK_SHARDS_SQL),
+    "text_quality_filter": QuerySpec(
+        text_quality_filter, TEXT_QUALITY_FILTER_SQL
+    ),
+    "dedup_incremental": QuerySpec(dedup_incremental, None),
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "dedup_contamination": QuerySpec(
         dedup_contamination, DEDUP_CONTAMINATION_SQL

@@ -172,20 +172,18 @@ def minhash_mins(base: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidates.
-
-    signature → split into ``bands`` rows of ``num_hashes/bands`` values →
-    band-bucket equi-join (hash shuffle on the bucket key) → distinct
-    pairs.  The self-join never materializes n²: only rows sharing a full
-    band collide.  Returns (id_a, id_b) with id_a < id_b.
-    """
+    """(id, bucket) rows: the LSH band index of each document — ``bands``
+    rows per doc, bucket = hash of (band number, that band's signature
+    slice).  This is the persisted "signature index" of an incremental
+    dedup deployment: computed once per doc, stored partitioned by
+    bucket."""
     from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
 
     rows_per_band = num_hashes // bands
@@ -196,7 +194,7 @@ def lsh_candidate_pairs(
     # three staged projections (token hash → shingle combine → affine
     # mins): each stage references the previous as a materialized column,
     # so nothing is inlined/recomputed per element
-    banded = df.select(
+    return df.select(
         F.col(id_col), token_hashes(text_col).alias("th")
     ).select(
         F.col(id_col), shingle_hashes(F.col("th")).alias("mh_base")
@@ -222,6 +220,23 @@ def lsh_candidate_pairs(
         # xxhash64 hashes the array column natively — no JSON stringify
         F.xxhash64(F.col("bandrow.band"), F.col("bandrow.vals")).alias("bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates.
+
+    signature → split into ``bands`` rows of ``num_hashes/bands`` values →
+    band-bucket equi-join (hash shuffle on the bucket key) → distinct
+    pairs.  The self-join never materializes n²: only rows sharing a full
+    band collide.  Returns (id_a, id_b) with id_a < id_b.
+    """
+    banded = band_buckets(df, id_col, text_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -232,6 +247,40 @@ def lsh_candidate_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental near-dup check: each NEW doc against the EXISTING
+    corpus only — the arriving-batch shape of a production dedup service.
+
+    The existing side's band buckets are the persisted signature index
+    (``band_buckets``; at 100 TB stored bucket-partitioned so this join
+    co-locates without a shuffle of the index).  Only new×existing
+    collisions are produced — never existing×existing (already
+    adjudicated in earlier batches) and never new×new (callers run
+    ``lsh_candidate_pairs`` on the batch for that).  Cost per batch is
+    O(|new| × bands) probe rows, independent of corpus size.
+
+    Returns (new_id, existing_id) distinct pairs.
+    """
+    idx = band_buckets(existing, id_col, text_col, num_hashes, bands)
+    probes = band_buckets(new, id_col, text_col, num_hashes, bands)
+    return (
+        probes.alias("n")
+        .join(idx.alias("e"), F.col("n.bucket") == F.col("e.bucket"))
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"e.{id_col}").alias("existing_id"),
         )
         .distinct()
     )

@@ -14,11 +14,13 @@ from historic_score_etl_pipeline_spark.contract.surface14 import (
     _PHONE_RE,
     _SHARD_TOKENS,
     dedup_contamination,
+    dedup_incremental,
     dedup_pipeline_e2e,
     sample_stratified_hash,
     shuffle_shard_pos,
     text_pack_shards,
     text_pii_redact,
+    text_quality_filter,
 )
 
 
@@ -123,3 +125,58 @@ def test_dedup_pipeline_e2e_shape(spark, sf_oracle):
     assert set(got) == set(raw)
     for lang, n in got.items():
         assert 0 < n <= raw[lang]
+
+
+def test_quality_filter_never_silently_drops(spark, sf_oracle):
+    """Every doc appears exactly once with a verdict; every drop has a
+    reason; every keep has none; verdicts split the corpus non-trivially."""
+    out = text_quality_filter(spark, sf_oracle).collect()
+    total = spark.read.parquet(f"{sf_oracle}/documents.parquet").count()
+    assert len(out) == total
+    kept = [r for r in out if r["verdict"] == "keep"]
+    dropped = [r for r in out if r["verdict"] == "drop"]
+    assert kept and dropped
+    assert all(r["reasons"] == "" for r in kept)
+    assert all(r["reasons"] for r in dropped)
+    for r in dropped:
+        if "too_short" in r["reasons"]:
+            assert r["n_tokens"] < 40
+        if "low_stopword" in r["reasons"]:
+            assert r["stopword_ratio"] < 0.05
+
+
+def test_incremental_lsh_finds_planted_duplicate(spark):
+    """A new batch containing an exact copy of an existing doc MUST
+    collide with it (identical signature → every band matches); an
+    unrelated doc must not collide with anything."""
+    from historic_score_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (1, "spark shuffles partition data across the cluster by key"),
+            (2, "window functions rank rows within ordered partitions"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "spark shuffles partition data across the cluster by key"),
+            (11, "entirely different words about football referees here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = lsh_candidate_pairs_incremental(existing, new, "doc_id", "text")
+    got = {(r["new_id"], r["existing_id"]) for r in pairs.collect()}
+    assert (10, 1) in got
+    assert not any(n == 11 for n, _ in got)
+
+
+def test_incremental_lsh_never_pairs_existing_with_existing(spark, sf_oracle):
+    """The probe join's output ids partition cleanly: new_id ≥ 400,
+    existing_id < 400 — the index side is never self-joined."""
+    rows = dedup_incremental(spark, sf_oracle).collect()
+    for r in rows:
+        assert r["new_id"] >= 400
+        assert r["first_existing_id"] < 400
