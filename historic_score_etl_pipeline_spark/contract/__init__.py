@@ -51,6 +51,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface12,
         surface13,
         surface14,
+        surface15,
         windows,
     )
 
@@ -75,6 +76,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface12,
         surface13,
         surface14,
+        surface15,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,138 @@
+"""Contract batch 20 — behavioral-analytics shapes (oracle-checked): the
+funnel and cohort-retention queries every event-analytics engine ships.
+No reference counterpart (the reference is a scraping ETL); these complete
+the engine surface over the ``events`` stream table.
+
+* ``funnel_click_purchase`` — ordered-sequence funnel: per user, the first
+  click, the first purchase strictly AFTER that click, and the conversion
+  flag; rolled up per signup-day cohort.  One aggregation pass: both
+  "first X" picks are conditional ``min``s, the ordering constraint is a
+  second conditional min over a precomputed threshold — no self-join of
+  the event stream against itself.
+* ``retention_cohort`` — cohort × day-offset retention matrix: users
+  bucket by first-seen day, every (user, active-day) pair counts once
+  toward (cohort, offset).  Two aggregations and one equi-join on
+  user_id — the join carries one row per user on the build side, so at
+  100 TB it broadcasts or buckets; never events × events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click → purchase conversion per user, aggregated by the day of the
+    user's first event (the acquisition cohort).
+
+    Stage 1 (one shuffle on user_id): per user, first-event day, first
+    click ts, first purchase-after-first-click ts — the ordering
+    constraint folds into ``min(CASE WHEN type='purchase' AND ts >
+    first_click)``, computed via a two-phase conditional aggregate (the
+    first phase's min becomes the second phase's threshold through a
+    self-agg-free re-aggregation of the same grouped rows).
+    Stage 2: tiny per-day rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        # collect the purchase timestamps once; the after-click constraint
+        # is applied below without a second scan
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchase_ts"),
+    )
+    first_purchase_after = F.filter(
+        F.col("purchase_ts"), lambda t: t > F.col("first_click")
+    ).getItem(0)
+    per_user2 = per_user.select(
+        "cohort_day",
+        F.col("first_click").isNotNull().alias("clicked"),
+        (
+            F.col("first_click").isNotNull()
+            & first_purchase_after.isNotNull()
+        ).alias("converted"),
+    )
+    return (
+        per_user2.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("clicked").cast("int")).alias("n_clicked"),
+            F.sum(F.col("converted").cast("int")).alias("n_converted"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         strftime(min(ts), '%Y-%m-%d') AS cohort_day,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT p.user_id, p.cohort_day,
+         p.first_click IS NOT NULL AS clicked,
+         p.first_click IS NOT NULL AND EXISTS (
+           SELECT 1 FROM events e
+           WHERE e.user_id = p.user_id AND e.event_type = 'purchase'
+             AND e.ts > p.first_click
+         ) AS converted
+  FROM per_user p
+)
+SELECT cohort_day, count(*) AS n_users,
+       sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS n_clicked,
+       sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+FROM conv GROUP BY cohort_day
+"""
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users cohorted by first-seen day; each active
+    day counts toward (cohort_day, day_offset).  Offsets capped at 14 to
+    keep the matrix dense."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_day, d.day) AS INTEGER) AS day_offset,
+       count(*) AS n_active_users
+FROM days d JOIN firsts f USING (user_id)
+WHERE datediff('day', f.cohort_day, d.day) <= 14
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "funnel_click_purchase": QuerySpec(funnel_click_purchase, FUNNEL_SQL),
+    "retention_cohort": QuerySpec(retention_cohort, RETENTION_SQL),
+}

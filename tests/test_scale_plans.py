@@ -225,3 +225,50 @@ def test_zip_join_guard_fires(spark):
     # under the threshold it still works
     out = zip_index_join(df.limit(5), df.limit(5), ["k"], ["k"], max_rows=10)
     assert out.count() == 5
+
+
+def test_pack_shards_single_shuffle_single_window(spark, sf_oracle):
+    """Sequence packing is one hash shuffle on lang + one running-sum
+    window — nothing else."""
+    from historic_score_etl_pipeline_spark.contract.surface14 import (
+        text_pack_shards,
+    )
+
+    plan = explain_str(text_pack_shards(spark, sf_oracle))
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Window (") == 1, plan
+
+
+def test_stratified_sample_filter_is_scan_side(spark, sf_oracle):
+    """The md5-threshold predicate runs in the scan stage; the only
+    shuffle is the tiny per-language rollup."""
+    from historic_score_etl_pipeline_spark.contract.surface14 import (
+        sample_stratified_hash,
+    )
+
+    plan = explain_str(sample_stratified_hash(spark, sf_oracle))
+    assert plan.count("Exchange (") == 1, plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_funnel_has_no_self_join(spark, sf_oracle):
+    """The ordered-funnel constraint folds into the per-user aggregate —
+    the event stream is never joined against itself (the naive
+    formulation is events ⋈ events on user_id with a time predicate)."""
+    from historic_score_etl_pipeline_spark.contract.surface15 import (
+        funnel_click_purchase,
+    )
+
+    plan = explain_str(funnel_click_purchase(spark, sf_oracle))
+    assert "Join" not in plan, plan
+
+
+def test_contamination_join_is_hash_not_nested_loop(spark, sf_oracle):
+    """Contamination is an equi-join on the chunk hash — any nested-loop
+    or cartesian here would be the doc×doc comparison the design bans."""
+    from historic_score_etl_pipeline_spark.contract.surface14 import (
+        dedup_contamination,
+    )
+
+    plan = explain_str(dedup_contamination(spark, sf_oracle))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
