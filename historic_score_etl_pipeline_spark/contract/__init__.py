@@ -126,8 +126,11 @@ _ROUND_HEAD: tuple[str, ...] = (
 )
 
 # Externally verified green in round 1 (CORRECTNESS_r01.json: hash_match or
-# rows-only rows>0) — rotate to the back of the registry.
-_VERIFIED_PAST_ROUNDS: frozenset[str] = frozenset({
+# rows-only rows>0) — rotate to the back of the registry.  Later rounds are
+# picked up automatically by _verified_from_reports() below, so the
+# rotation is self-maintaining: anything the harness has ever verified
+# green yields its slot to never-verified queries next round.
+_VERIFIED_R01: frozenset[str] = frozenset({
     "scan_parquet", "filter_contains", "project_select_drop",
     "project_literal", "project_concat_url", "filter_date_or",
     "filter_nonempty", "filter_isin_anti", "filter_array_len",
@@ -146,17 +149,49 @@ _VERIFIED_PAST_ROUNDS: frozenset[str] = frozenset({
 })
 
 
+def _verified_from_reports() -> frozenset[str]:
+    """Union of every query the external harness has verified green in any
+    past round, parsed from the CORRECTNESS_r*.json files the driver
+    leaves at the repo root (hash_match, or a rows-only check with
+    rows > 0).  Robust to absent/corrupt files — falls back to the static
+    round-1 set."""
+    import glob
+    import json
+    import os
+
+    verified: set[str] = set(_VERIFIED_R01)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                report = json.load(f)
+            for name, rec in report.items():
+                if not isinstance(rec, dict):
+                    continue
+                green = rec.get("hash_match") or (
+                    rec.get("err") == "no_oracle"
+                    and (rec.get("spark_rows") or 0) > 0
+                )
+                if green:
+                    verified.add(name)
+        except Exception:  # noqa: BLE001 — a bad report must not break queries()
+            continue
+    return frozenset(verified)
+
+
 def _rotate(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Order the registry: curated head, then never-verified, then verified."""
-    head = [k for k in _ROUND_HEAD if k in merged]
-    mid = [
-        k for k in merged
-        if k not in _ROUND_HEAD and k not in _VERIFIED_PAST_ROUNDS
-    ]
-    back = [
-        k for k in merged
-        if k in _VERIFIED_PAST_ROUNDS and k not in _ROUND_HEAD
-    ]
+    """Order the registry: curated head, then never-verified, then verified.
+
+    A head key keeps its slot until a round ≥2 report confirms it green
+    (``retired``); from then on it yields to never-verified queries
+    automatically — no code change needed between rounds."""
+    done = _verified_from_reports()
+    retired = done - _VERIFIED_R01  # verified by a round-2+ report
+    head = [k for k in _ROUND_HEAD if k in merged and k not in retired]
+    head_set = set(head)
+    mid = [k for k in merged if k not in head_set and k not in done]
+    back = [k for k in merged if k not in head_set and k in done]
     return {k: merged[k] for k in (*head, *mid, *back)}
 
 

@@ -34,3 +34,30 @@ def test_entry_smoke(spark):
     df = entrypoint.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) >= 5
+
+
+def test_registry_rotation_is_self_maintaining(monkeypatch):
+    """Keys verified green by a round-2+ harness report must yield their
+    front-of-registry slot automatically; with only round-1 reports the
+    curated head stays pinned."""
+    import historic_score_etl_pipeline_spark.contract as c
+
+    before = list(c._merged())
+    assert before[0] == c._ROUND_HEAD[0]
+
+    confirmed = {c._ROUND_HEAD[0], c._ROUND_HEAD[7]}
+    orig = c._verified_from_reports
+    monkeypatch.setattr(
+        c,
+        "_verified_from_reports",
+        lambda: frozenset(set(orig()) | confirmed),
+    )
+    after = list(c._merged())
+    # confirmed head keys retire past the never-verified block
+    for k in confirmed:
+        assert after.index(k) > after.index(before[-1]) - len(
+            c._VERIFIED_R01
+        ) - len(confirmed), k
+        assert k not in after[:45]
+    # registry contents unchanged, only order
+    assert sorted(after) == sorted(before)
