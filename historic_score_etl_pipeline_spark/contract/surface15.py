@@ -132,7 +132,46 @@ GROUP BY 1, 2
 """
 
 
+
+
+
+# --- fixed-bin histogram ------------------------------------------------------
+
+_BIN_W = 25.0
+_N_BINS = 20  # values ≥ _BIN_W*_N_BINS clamp into the last bin
+
+
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (the monitoring/EDA shape):
+    bin = clamped floor(value / width), counted per event_type.  One
+    shuffle on (event_type, bin); the bin expression is pure codegen —
+    at 100 TB this is the cheapest full-scan profile there is.  Empty
+    bins are absent by design (sparse histogram); the consumer densifies
+    against the fixed 0..N-1 bin domain."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_idx = F.least(
+        F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.col("bin") * _BIN_W)
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(least(floor(value / {_BIN_W}), {_N_BINS - 1}) AS INTEGER) AS bin,
+       count(*) AS n,
+       CAST(least(floor(value / {_BIN_W}), {_N_BINS - 1}) AS INTEGER)
+         * {_BIN_W} AS bin_lo
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_click_purchase": QuerySpec(funnel_click_purchase, FUNNEL_SQL),
     "retention_cohort": QuerySpec(retention_cohort, RETENTION_SQL),
+    "agg_histogram_bins": QuerySpec(agg_histogram_bins, AGG_HISTOGRAM_SQL),
 }

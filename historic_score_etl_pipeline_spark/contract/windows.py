@@ -137,9 +137,10 @@ FROM events GROUP BY 1
 
 def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2h window every 1h (batch-equivalent of the streaming
-    sliding count; overlapping windows are not cleanly ANSI-SQL-
-    expressible → rows-only check).  Window boundaries derived from epoch
-    micros for timezone independence."""
+    sliding count).  Window boundaries derived from epoch micros for
+    timezone independence.  Oracle-checked since round 2: the overlap
+    explode is ``unnest`` of the two window starts in DuckDB — the same
+    expand-then-group plan, so the hash must match exactly."""
     ev = load_table(spark, sf_dir, "events")
     hour_idx = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
     # Each event belongs to 2 sliding windows: [h-1, h+1) and [h, h+2).
@@ -157,13 +158,27 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- I4: session window (rows-only) ---------------------------------------
+STREAM_SLIDING_COUNT_SQL = """
+SELECT win_start_hour, count(*) AS n_events
+FROM (
+  SELECT event_id,
+         unnest([CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) - 1,
+                 CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)])
+           AS win_start_hour
+  FROM events
+)
+GROUP BY win_start_hour
+"""
+
+
+# --- I4: session window ----------------------------------------------------
 
 def stream_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute inactivity gap per user — batch
     twin of ``session_window(ts, '30 minutes')``.  Expressed with the
     classic gaps-and-islands window idiom (lag + cumulative flag), which
-    is exactly what Spark's session_window compiles to in batch mode."""
+    is exactly what Spark's session_window compiles to in batch mode.
+    Oracle-checked since round 2 via the same idiom in DuckDB."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -192,11 +207,34 @@ def stream_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_SESSION_GAP_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM ids GROUP BY user_id, session_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_topk_recent": QuerySpec(window_topk_recent, WINDOW_TOPK_RECENT_SQL),
     "window_ffill": QuerySpec(window_ffill, WINDOW_FFILL_SQL),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL),
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, STREAM_TUMBLING_DAILY_SQL),
-    "stream_sliding_count": QuerySpec(stream_sliding_count, None),
-    "stream_session_gap": QuerySpec(stream_session_gap, None),
+    "stream_sliding_count": QuerySpec(
+        stream_sliding_count, STREAM_SLIDING_COUNT_SQL
+    ),
+    "stream_session_gap": QuerySpec(stream_session_gap, STREAM_SESSION_GAP_SQL),
 }
