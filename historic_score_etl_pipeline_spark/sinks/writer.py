@@ -58,6 +58,37 @@ class ErrorChannel:
         )
 
 
+def format_error_email(
+    team_errors: dict[str, str],
+    ref_errors: dict[str, str],
+    today: str,
+    tomorrow: str,
+) -> tuple[str, str]:
+    """(subject, body) in the reference's EXACT email shape
+    (app/main.py:24-43): header line + blank line, a ``Teams' Match
+    History`` section and a ``Referee's History`` section, each entry as
+    ``key: value`` — the LAST entry of each section followed by a blank
+    line (the reference's last-item special case, app/main.py:27-29).
+
+    The SMTP send itself (app/main.py:45-47) stays out of engine scope —
+    this returns the message for whatever transport the deployment owns;
+    insertion order of the dicts is preserved, like the reference's
+    ``list(dict.keys())`` iteration."""
+    subject = f"Error Logs for {today} and {tomorrow} Extraction."
+    body = f"Error Logs for {today} and {tomorrow} Extraction.\n\n"
+    body += "Teams' Match History\n"
+    team_keys = list(team_errors)
+    for item in team_keys:
+        tail = "\n\n" if item == team_keys[-1] else "\n"
+        body += f"{item}: {team_errors[item]}{tail}"
+    body += "Referee's History\n"
+    ref_keys = list(ref_errors)
+    for item in ref_keys:
+        tail = "\n\n" if item == ref_keys[-1] else "\n"
+        body += f"{item}: {ref_errors[item]}{tail}"
+    return subject, body
+
+
 def retried_write(
     df: DataFrame,
     path: str,

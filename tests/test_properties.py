@@ -71,3 +71,67 @@ def test_union_and_dedup_invariants(spark):
     # dedup fixpoint: dedup(dedup(x)) == dedup(x)
     d1 = dedup_exact(docs, text_fingerprint("text"), "doc_id", ["lang"])
     assert d1.count() == docs.select(text_fingerprint("text")).distinct().count()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    n_keys = draw(st.integers(1, 4))
+    left = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 50)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 50)),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    return left, right
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_asof_case())
+def test_asof_backward_join_matches_brute_force(spark, case):
+    """The union-merge as-of plan (the engine's DEFAULT as-of join) must
+    agree with the O(n·m) python brute force on arbitrary key/time data,
+    including ties (tiebreak = max payload id at equal time) and
+    no-prior-match rows."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_backward_join,
+    )
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        ["lid", "k", "lt"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, k, t) for i, (k, t) in enumerate(right_rows)],
+        "rid: bigint, k: bigint, rt: bigint",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_backward_join(
+            left, right, "k", "lt", "rt", ["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        candidates = [
+            (rt, 100 + j)
+            for j, (rk, rt) in enumerate(right_rows)
+            if rk == k and rt <= t
+        ]
+        expected = max(candidates)[1] if candidates else None
+        assert got[i] == expected, (i, k, t, candidates)

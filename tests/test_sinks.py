@@ -63,3 +63,45 @@ def test_error_channel_records_failures(spark):
     edf = errors.to_df(spark)
     assert edf.count() == len(errors.records)
     assert set(edf.columns) == {"context", "error", "batch_id"}
+
+
+def test_error_email_matches_reference_shape():
+    """Byte-exact parity with the reference's email fold (app/main.py:24-43),
+    including the last-item double-newline special case and preserved
+    insertion order."""
+    from historic_score_etl_pipeline_spark.sinks.writer import (
+        format_error_email,
+    )
+
+    team = {"La Liga": "timeout", "Serie B": "stale element"}
+    ref = {"Eredivisie": "404"}
+    subject, body = format_error_email(team, ref, "2023-05-02", "2023-05-03")
+
+    # reference algorithm, reimplemented verbatim from app/main.py:24-36
+    expected = "Error Logs for 2023-05-02 and 2023-05-03 Extraction.\n\n"
+    expected += "Teams' Match History\n"
+    for item in list(team.keys()):
+        if item == list(team.keys())[-1]:
+            expected += f"{item}: {team[item]}\n\n"
+        else:
+            expected += f"{item}: {team[item]}\n"
+    expected += "Referee's History\n"
+    for item in list(ref.keys()):
+        if item == list(ref.keys())[-1]:
+            expected += f"{item}: {ref[item]}\n\n"
+        else:
+            expected += f"{item}: {ref[item]}\n"
+
+    assert subject == "Error Logs for 2023-05-02 and 2023-05-03 Extraction."
+    assert body == expected
+
+
+def test_error_email_empty_sections():
+    """Empty error dicts: section headers still present, no trailing
+    entries, no crash (the reference tolerates empty dicts the same way)."""
+    from historic_score_etl_pipeline_spark.sinks.writer import (
+        format_error_email,
+    )
+
+    _, body = format_error_email({}, {}, "d1", "d2")
+    assert "Teams' Match History\nReferee's History\n" in body
