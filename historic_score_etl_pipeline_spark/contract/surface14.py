@@ -440,12 +440,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup STREAM (streaming/jobs.py::
+    run_incremental_dedup) run for real under AvailableNow: the corpus
+    lands in two micro-batch files (split at doc_id 250, second batch
+    salted with two copies of batch-1 docs), the loop probes each batch
+    against the persisted signature index, and the flagged-pair output
+    is returned.  rows-only: a checkpointed streaming side-effect has no
+    SQL twin; cross-batch recall is unit-tested with planted duplicates
+    (tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from historic_score_etl_pipeline_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work_root = tempfile.mkdtemp(prefix="hsep_stream_dedup_")
+    landing = os.path.join(work_root, "landing")
+    os.makedirs(landing)
+    first = docs.where(F.col("doc_id") < 250)
+    dup_seed = first.where(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    second = docs.where(F.col("doc_id") >= 250).unionByName(dup_seed)
+    # plain parquet FILES (not directories): the file stream source treats
+    # subdirectories as partition dirs.  Driver-side materialization is
+    # fine here — this fixture staging is test-scale by construction; a
+    # real landing zone is written by the upstream producer.
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(df: DataFrame, name: str) -> None:
+        pdf = df.toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(landing, name),
+        )
+
+    _write(first, "batch1.parquet")
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    _write(second, "batch2.parquet")
+    work = os.path.join(work_root, "work")
+    run_incremental_dedup(spark, landing, work)
+    return spark.read.parquet(os.path.join(work, "flagged"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_pack_shards": QuerySpec(text_pack_shards, TEXT_PACK_SHARDS_SQL),
     "text_quality_filter": QuerySpec(
         text_quality_filter, TEXT_QUALITY_FILTER_SQL
     ),
     "dedup_incremental": QuerySpec(dedup_incremental, None),
+    "stream_incremental_dedup": QuerySpec(stream_incremental_dedup, None),
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "dedup_contamination": QuerySpec(
         dedup_contamination, DEDUP_CONTAMINATION_SQL

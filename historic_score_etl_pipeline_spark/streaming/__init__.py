@@ -3,6 +3,7 @@ from historic_score_etl_pipeline_spark.streaming.jobs import (
     read_events_stream,
     run_available_now,
     run_foreach_batch_sink,
+    run_incremental_dedup,
     sessionized_stream,
     stateful_sessionizer_stream,
     stateful_user_totals_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "run_foreach_batch_sink",
+    "run_incremental_dedup",
     "sessionized_stream",
     "stateful_sessionizer_stream",
     "stateful_user_totals_stream",

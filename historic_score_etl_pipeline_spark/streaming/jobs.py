@@ -363,3 +363,91 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming incremental dedup: the signature-index design
+    (operators/dedup.py::band_buckets) wired into a real AvailableNow
+    loop — the production shape of near-dup removal over an ever-growing
+    corpus.
+
+    Per micro-batch (foreachBatch):
+    1. probe the arriving docs' band buckets against the PERSISTED index
+       (``{work_dir}/index``) — new×existing collisions only;
+    2. also self-check the batch (``lsh_candidate_pairs``) for
+       intra-batch dups;
+    3. append the batch's flagged pairs to ``{work_dir}/flagged`` and the
+       surviving docs' buckets to the index, both keyed by batch id via
+       the idempotent writer — a replayed batch overwrites its own
+       output, so crash+resume never double-inserts index rows.
+
+    State is the parquet index itself — bucket-partitionable, mergeable,
+    no in-memory store to size; at 100 TB the index is just another
+    table.  Docs schema must carry (id_col, text_col).
+    """
+    import os as _os
+
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _Field
+    from pyspark.sql.types import StructType as _Struct
+
+    from historic_score_etl_pipeline_spark.operators.dedup import (
+        band_buckets,
+        lsh_candidate_pairs,
+    )
+    from historic_score_etl_pipeline_spark.sinks.writer import retried_write
+
+    index_dir = _os.path.join(work_dir, "index")
+    flagged_dir = _os.path.join(work_dir, "flagged")
+    schema = _Struct(
+        [_Field(id_col, _Long()), _Field(text_col, _Str())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            probes = band_buckets(batch_df, id_col, text_col)
+            flagged = None
+            if _os.path.isdir(index_dir) and any(
+                f.startswith("batch_id=") for f in _os.listdir(index_dir)
+            ):
+                idx = spark.read.parquet(index_dir)
+                flagged = (
+                    probes.alias("n")
+                    .join(idx.alias("e"), F.col("n.bucket") == F.col("e.bucket"))
+                    .select(
+                        F.col(f"n.{id_col}").alias("new_id"),
+                        F.col(f"e.{id_col}").alias("existing_id"),
+                    )
+                    .distinct()
+                )
+            intra = lsh_candidate_pairs(batch_df, id_col, text_col).select(
+                F.col("id_b").alias("new_id"), F.col("id_a").alias("existing_id")
+            )
+            flagged = intra if flagged is None else flagged.unionByName(intra)
+            if not retried_write(flagged, flagged_dir, batch_id=str(batch_id)):
+                raise RuntimeError(f"flagged write failed, batch {batch_id}")
+            if not retried_write(probes, index_dir, batch_id=str(batch_id)):
+                raise RuntimeError(f"index write failed, batch {batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", _os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -212,3 +212,46 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     # at least one user appears in both halves → emitted 2 state updates
     multi = got.groupBy("user_id").count().where(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_incremental_dedup_stream_flags_cross_batch_duplicate(spark, tmp_path):
+    """The signature-index loop end-to-end: batch 2 contains a copy of a
+    batch-1 doc — the probe against the persisted index must flag it,
+    and the index must grow by each batch's buckets (exactly-once via
+    batch-id dirs)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from historic_score_etl_pipeline_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "work")
+
+    t_dup = "spark shuffles partition data across the cluster by key hash"
+    batch1 = pa.table(
+        {"doc_id": [1, 2], "text": [t_dup, "window functions rank rows"]}
+    )
+    batch2 = pa.table(
+        {"doc_id": [10, 11], "text": [t_dup, "totally unrelated referee words"]}
+    )
+    pq.write_table(batch1, landing / "b1.parquet")
+    _time.sleep(1.1)  # file-source ordering is mtime-based
+    pq.write_table(batch2, landing / "b2.parquet")
+
+    run_incremental_dedup(spark, str(landing), work)
+
+    flagged = spark.read.parquet(f"{work}/flagged")
+    pairs = {(r["new_id"], r["existing_id"]) for r in flagged.collect()}
+    assert (10, 1) in pairs, pairs
+    assert not any(n == 11 for n, _ in pairs), pairs
+
+    # index holds buckets for all four docs, under two batch-id dirs
+    idx = spark.read.parquet(f"{work}/index")
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        1, 2, 10, 11,
+    }
