@@ -272,3 +272,66 @@ def test_contamination_join_is_hash_not_nested_loop(spark, sf_oracle):
 
     plan = explain_str(dedup_contamination(spark, sf_oracle))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_plan_redflag_budget(spark, sf_oracle):
+    """Fleet-wide physical-plan audit: no contract query may introduce a
+    cartesian product, nested-loop join, single-partition exchange, or
+    row-at-a-time Python eval beyond the documented allowlist (global
+    scalar aggregates exchange ONE partial-state row; the allowed BNLJs
+    broadcast 1-row scalars or tiny documented dims; zip join is guarded
+    parity-only)."""
+    import contextlib
+    import io
+
+    from historic_score_etl_pipeline_spark import contract
+
+    ALLOWED = {
+        "date_spine_gapfill": {"BNLJ", "SINGLE_PART"},
+        "dedup_embed_cosine": {"BNLJ"},
+        "join_bloom_prune": {"SINGLE_PART"},
+        "join_fuzzy_levenshtein": {"BNLJ"},
+        "join_range_interval": {"BNLJ"},
+        "join_theta_contains": {"BNLJ"},
+        "join_zip_index": {"SINGLE_PART"},
+        "sim_topk_cosine": {"BNLJ"},
+        "subq_global_fraction": {"BNLJ", "SINGLE_PART"},
+        "subq_scalar_avg_qty": {"SINGLE_PART"},
+        "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
+        "tpch_q14_promo_share": {"SINGLE_PART"},
+        "tpch_q15_top_supplier": {"SINGLE_PART"},
+        "tpch_q19_disjunctive": {"SINGLE_PART"},
+        "tpch_q22_idle_customers": {"BNLJ", "SINGLE_PART"},
+        "tpch_q6_forecast_revenue": {"SINGLE_PART"},
+    }
+    # queries that RUN jobs/loops at build time — audited by their own
+    # dedicated plan/behavior tests instead
+    SKIP = {
+        "stream_incremental_dedup", "sink_write", "sink_merge_upsert",
+        "sink_scd2_history", "stream_stateful_totals", "stream_stream_join",
+        "matview_incremental", "dedup_pipeline_e2e",
+        "dedup_connected_components", "sim_kmeans_assign",
+        "sim_topk_cosine_ivf_trained",
+    }
+    violations = {}
+    for name, spec in contract._merged().items():
+        if name in SKIP:
+            continue
+        df = spec.spark(spark, sf_oracle)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        found = set()
+        if "CartesianProduct" in plan:
+            found.add("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan:
+            found.add("BNLJ")
+        if "SinglePartition" in plan:
+            found.add("SINGLE_PART")
+        if "BatchEvalPython" in plan:
+            found.add("ROW_PY")
+        extra = found - ALLOWED.get(name, set())
+        if extra:
+            violations[name] = sorted(extra)
+    assert not violations, violations
