@@ -110,9 +110,22 @@ def stage_landing_zone(
     :func:`load_table` applies the same µs conversion either way.  Returns
     ``out_dir``; skips work when the staging marker is already present.
     """
+    # Staleness guard: the staged copy lives in /tmp across harness
+    # rounds, but the source testdata can be regenerated between rounds
+    # (its timestamp physical type DID change once).  The marker stores a
+    # signature of the source files; any size/mtime drift forces a
+    # restage instead of silently benching stale data.
+    sig = ";".join(
+        f"{name}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+        for name in TABLES
+        for p in [os.path.join(sf_dir, f"{name}.parquet")]
+        if os.path.exists(p)
+    )
     marker = os.path.join(out_dir, "_STAGED")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == sig:
+                return out_dir
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -124,5 +137,5 @@ def stage_landing_zone(
             os.path.join(out_dir, f"{name}.parquet")
         )
     with open(marker, "w") as f:
-        f.write(sf_dir)
+        f.write(sig)
     return out_dir

@@ -99,3 +99,44 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_stage_landing_zone_restages_on_source_change(spark, tmp_path):
+    """The /tmp staged copy survives across rounds but the source testdata
+    can be regenerated (its ts type DID change once): a source-file
+    signature mismatch must force a restage; an unchanged source must
+    reuse the staged copy."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from historic_score_etl_pipeline_spark.sources.catalog import (
+        TABLES,
+        stage_landing_zone,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name in TABLES:
+        pq.write_table(
+            pa.table({"x": [1, 2, 3]}), src / f"{name}.parquet"
+        )
+    out = str(tmp_path / "staged")
+
+    stage_landing_zone(spark, str(src), out, splits=2)
+    mtime1 = os.path.getmtime(os.path.join(out, "_STAGED"))
+
+    # unchanged source → no restage (marker untouched)
+    stage_landing_zone(spark, str(src), out, splits=2)
+    assert os.path.getmtime(os.path.join(out, "_STAGED")) == mtime1
+
+    # regenerate one source table → signature drifts → restage
+    pq.write_table(
+        pa.table({"x": [9, 9, 9, 9]}), src / "events.parquet"
+    )
+    stage_landing_zone(spark, str(src), out, splits=2)
+    staged_events = spark.read.parquet(os.path.join(out, "events.parquet"))
+    assert staged_events.count() == 4
+    shutil.rmtree(out)
