@@ -45,6 +45,12 @@ def connected_components(
     sym = fwd.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
+    # Pin the edge list: every iteration joins against `sym`, and without
+    # this the WHOLE upstream lineage (e.g. MinHash → LSH banding →
+    # Jaccard verify in the dedup pipeline) re-executes once per round
+    # per action.  localCheckpoint materializes it once and truncates the
+    # lineage — the single biggest win in the iterative loop.
+    sym = sym.localCheckpoint()
 
     labels = (
         sym.select(F.col("a").alias("node"))
