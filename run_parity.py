@@ -1,28 +1,56 @@
 #!/usr/bin/env python
 """Dev loop: run the contract parity check locally.
 
-Usage: python run_parity.py [query ...]   (default: all, at sf0.01)
+Usage: python run_parity.py [--hostile] [query ...]   (default: all, at sf0.01)
+
+--hostile runs under a deliberately adversarial session — TIMESTAMP_NTZ
+inference on, non-UTC timezone, AQE off, odd shuffle partitioning — the
+conditions an external harness session may impose.  Every contract query
+must pass BOTH modes (round-2 full sweep: 153/153 in each).
 """
 
 from __future__ import annotations
 
 import sys
 
-from historic_score_etl_pipeline_spark.session import get_spark
 from historic_score_etl_pipeline_spark.testing import run_parity
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def _hostile_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("parity-hostile")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "7")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    names = sys.argv[1:] or None
-    spark = get_spark(cpus=8)
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    names = [a for a in args if not a.startswith("--")] or None
+    if hostile:
+        spark = _hostile_spark()
+    else:
+        from historic_score_etl_pipeline_spark.session import get_spark
+
+        spark = get_spark(cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
     results = run_parity(spark, SF_DIR, names)
     n_fail = 0
     for r in results:
         print(r)
         n_fail += 0 if r.ok else 1
-    print(f"\n{len(results) - n_fail}/{len(results)} parity checks passed")
+    mode = " (hostile session)" if hostile else ""
+    print(f"\n{len(results) - n_fail}/{len(results)} parity checks passed{mode}")
     return 1 if n_fail else 0
 
 
