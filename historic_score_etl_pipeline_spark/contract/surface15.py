@@ -175,3 +175,56 @@ QUERIES: dict[str, QuerySpec] = {
     "retention_cohort": QuerySpec(retention_cohort, RETENTION_SQL),
     "agg_histogram_bins": QuerySpec(agg_histogram_bins, AGG_HISTOGRAM_SQL),
 }
+
+
+# --- forward as-of join -------------------------------------------------------
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each click, the NEXT purchase at-or-after the
+    click by the same user (NULL when none follows) — the attribution
+    mirror of ``join_asof_lastn``.  Runs on the reversed-clock union-merge
+    plan (operators/joins.py::asof_forward_join): one shuffle, one
+    window, no join operator; the oracle states the naive conditional
+    join + ASC rank, so the hash-match proves plan equivalence."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_forward_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return asof_forward_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        payload_cols=["purchase_id"],
+        right_tiebreak="purchase_id",
+    ).select("click_id", "user_id", "purchase_id")
+
+
+JOIN_ASOF_FORWARD_SQL = """
+SELECT click_id, user_id, purchase_id
+FROM (
+  SELECT c.click_id, c.user_id, p.purchase_id,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY p.p_ts ASC, p.purchase_id ASC) AS rn
+  FROM (SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+             FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+) WHERE rn = 1
+"""
+
+QUERIES["join_asof_forward"] = QuerySpec(join_asof_forward, JOIN_ASOF_FORWARD_SQL)

@@ -154,6 +154,40 @@ def asof_backward_join(
     )
 
 
+def asof_forward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of LEFT join: for each left row, the payload of the
+    EARLIEST right row with ``right_ts >= left_ts`` for the same key
+    (NULLs when no later right row) — the "next event after" complement
+    of :func:`asof_backward_join`.
+
+    Same one-shuffle union-merge plan, run on a reversed clock: both
+    timestamps negate into epoch-micros longs, so the backward merge's
+    running ``last()`` picks the forward-earliest row; ties at equal
+    ``right_ts`` resolve to the MIN tiebreak (mirror of backward's max).
+    Timestamp/date payloads pass through untouched — only the merge keys
+    are negated, internally."""
+    neg_l = f"__neg_{left_ts}"
+    neg_r = f"__neg_{right_ts}"
+    lhs = left.withColumn(neg_l, -F.unix_micros(F.col(left_ts).cast("timestamp")))
+    rhs = right.withColumn(neg_r, -F.unix_micros(F.col(right_ts).cast("timestamp")))
+    tb = None
+    if right_tiebreak:
+        rhs = rhs.withColumn("__neg_tb", -F.col(right_tiebreak))
+        tb = "__neg_tb"
+    out = asof_backward_join(
+        lhs, rhs, key, neg_l, neg_r, payload_cols, right_tiebreak=tb
+    )
+    return out.drop(neg_l)
+
+
 def asof_last_n(
     left: DataFrame,
     right: DataFrame,

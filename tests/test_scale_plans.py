@@ -335,3 +335,15 @@ def test_plan_redflag_budget(spark, sf_oracle):
         if extra:
             violations[name] = sorted(extra)
     assert not violations, violations
+
+
+def test_asof_forward_is_single_window_no_join(spark, sf_oracle):
+    """The forward as-of (reversed-clock union-merge) keeps the backward
+    plan's shape: exactly one Window, no join operator."""
+    from historic_score_etl_pipeline_spark.contract.surface15 import (
+        join_asof_forward,
+    )
+
+    plan = explain_str(join_asof_forward(spark, sf_oracle))
+    assert plan.count("Window (") == 1, plan
+    assert "Join" not in plan, plan
