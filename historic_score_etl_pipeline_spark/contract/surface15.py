@@ -228,3 +228,57 @@ FROM (
 """
 
 QUERIES["join_asof_forward"] = QuerySpec(join_asof_forward, JOIN_ASOF_FORWARD_SQL)
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of: each purchase matched to the latest prior click
+    by the same user ONLY if that click is within 2 hours (else NULL).
+    Same union-merge plan as join_asof_lastn plus a constant-time
+    staleness mask; the oracle restricts the join window instead — the
+    hash-match proves the equivalence (for the nearest-prior row, masking
+    after ≡ restricting before)."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_tolerance_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return asof_tolerance_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        payload_cols=["click_id"],
+        tolerance="2 hours",
+        right_tiebreak="click_id",
+    ).select("purchase_id", "user_id", "click_id")
+
+
+JOIN_ASOF_TOLERANCE_SQL = """
+SELECT purchase_id, user_id, click_id
+FROM (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+  FROM (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+             FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.c_user AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL 2 HOUR
+) WHERE rn = 1
+"""
+
+QUERIES["join_asof_tolerance"] = QuerySpec(
+    join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL
+)

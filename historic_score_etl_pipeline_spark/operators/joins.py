@@ -188,6 +188,41 @@ def asof_forward_join(
     return out.drop(neg_l)
 
 
+def asof_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance: str,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of with a match-window: the latest prior right row,
+    but only if it falls within ``tolerance`` (an INTERVAL string, e.g.
+    ``'2 hours'``) of the left timestamp — attribution semantics ("count
+    the purchase only if a click happened in the last N hours").
+
+    Exactly the union-merge backward plan plus a constant-time mask: for
+    n=1 the nearest prior row is the only candidate, so nulling stale
+    matches afterward is equivalent to restricting the join window —
+    no extra shuffle, still no join operator."""
+    marker = "__asof_matched_ts"
+    out = asof_backward_join(
+        left,
+        right.withColumn(marker, F.col(right_ts)),
+        key,
+        left_ts,
+        right_ts,
+        [*payload_cols, marker],
+        right_tiebreak=right_tiebreak,
+    )
+    fresh = F.col(marker) >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+    for c in payload_cols:
+        out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out.drop(marker)
+
+
 def asof_last_n(
     left: DataFrame,
     right: DataFrame,

@@ -347,3 +347,15 @@ def test_asof_forward_is_single_window_no_join(spark, sf_oracle):
     plan = explain_str(join_asof_forward(spark, sf_oracle))
     assert plan.count("Window (") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_tolerance_is_single_window_no_join(spark, sf_oracle):
+    """Tolerance as-of = backward merge + constant-time mask: plan shape
+    must stay one Window, zero joins."""
+    from historic_score_etl_pipeline_spark.contract.surface15 import (
+        join_asof_tolerance,
+    )
+
+    plan = explain_str(join_asof_tolerance(spark, sf_oracle))
+    assert plan.count("Window (") == 1, plan
+    assert "Join" not in plan, plan
