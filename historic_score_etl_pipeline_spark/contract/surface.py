@@ -440,9 +440,9 @@ WITH m AS (
 SELECT event_type,
        count(*) FILTER (json_valid(props)) AS n_valid,
        count(*) FILTER (NOT json_valid(props)) AS n_corrupt,
-       sum(CASE WHEN json_valid(props)
-                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
-           END) AS k_sum
+       CAST(sum(CASE WHEN json_valid(props)
+                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                END) AS BIGINT) AS k_sum
 FROM m GROUP BY event_type
 """
 

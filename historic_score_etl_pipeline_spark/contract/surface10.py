@@ -103,7 +103,7 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_VARIANT_SQL = """
 SELECT event_type, count(*) AS n_hot,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
 GROUP BY event_type
@@ -136,7 +136,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCAN_ORC_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE n_chars > 0 GROUP BY lang
 """
 
@@ -187,8 +187,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 with_id AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -249,7 +249,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCAN_XML_SQL = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1, 2
 """
 

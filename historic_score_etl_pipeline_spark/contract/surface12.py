@@ -98,8 +98,8 @@ def udf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDF_ARROW_NATIVE_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(length(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
-                              x -> x <> ''))) AS total_tokens,
+       CAST(sum(length(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                   x -> x <> ''))) AS BIGINT) AS total_tokens,
        max(length(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
                               x -> x <> ''))) AS max_tokens
 FROM documents GROUP BY lang

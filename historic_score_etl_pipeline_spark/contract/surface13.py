@@ -68,9 +68,9 @@ SAFE_MATH_SQL = """
 SELECT l_returnflag,
        count(*) AS n_rows,
        count(td_milli) AS n_divisible,
-       sum(td_milli) AS sum_ratio_milli,
+       CAST(sum(td_milli) AS BIGINT) AS sum_ratio_milli,
        count(tc) AS n_numeric,
-       sum(tc) AS sum_numeric
+       CAST(sum(tc) AS BIGINT) AS sum_numeric
 FROM (
   SELECT l_returnflag,
          CAST(floor((l_extendedprice / nullif(l_quantity - 25.0, 0)) * 1000)

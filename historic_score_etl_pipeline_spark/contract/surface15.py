@@ -29,45 +29,39 @@ def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """click → purchase conversion per user, aggregated by the day of the
     user's first event (the acquisition cohort).
 
-    Stage 1 (one shuffle on user_id): per user, first-event day, first
-    click ts, first purchase-after-first-click ts — the ordering
-    constraint folds into ``min(CASE WHEN type='purchase' AND ts >
-    first_click)``, computed via a two-phase conditional aggregate (the
-    first phase's min becomes the second phase's threshold through a
-    self-agg-free re-aggregation of the same grouped rows).
+    Stage 1 (ONE shuffle on user_id): an unordered whole-partition window
+    broadcasts ``first_click = min(ts WHERE click)`` to every event row of
+    the user, then a same-key aggregation applies the ordering constraint
+    as ``max(CASE WHEN type='purchase' AND ts > first_click)`` — the
+    groupBy reuses the window's hash partitioning, so no second shuffle
+    and no per-user purchase buffer (the earlier formulation collected
+    and sorted every purchase ts per user; unbounded agg state).
     Stage 2: tiny per-day rollup."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id")
+    ev2 = ev.withColumn(
+        "first_click",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    per_user = ev2.groupBy("user_id").agg(
         F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
-            "first_click"
-        ),
-        # collect the purchase timestamps once; the after-click constraint
-        # is applied below without a second scan
-        F.sort_array(
-            F.collect_list(
-                F.when(F.col("event_type") == "purchase", F.col("ts"))
-            )
-        ).alias("purchase_ts"),
+        F.max(
+            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        ).alias("clicked_i"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("converted_i"),
     )
-    first_purchase_after = F.filter(
-        F.col("purchase_ts"), lambda t: t > F.col("first_click")
-    ).getItem(0)
-    per_user2 = per_user.select(
-        "cohort_day",
-        F.col("first_click").isNotNull().alias("clicked"),
-        (
-            F.col("first_click").isNotNull()
-            & first_purchase_after.isNotNull()
-        ).alias("converted"),
-    )
-    return (
-        per_user2.groupBy("cohort_day")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum(F.col("clicked").cast("int")).alias("n_clicked"),
-            F.sum(F.col("converted").cast("int")).alias("n_converted"),
-        )
+    return per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("clicked_i").alias("n_clicked"),
+        F.sum("converted_i").alias("n_converted"),
     )
 
 
@@ -89,8 +83,8 @@ conv AS (
   FROM per_user p
 )
 SELECT cohort_day, count(*) AS n_users,
-       sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS n_clicked,
-       sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+       CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM conv GROUP BY cohort_day
 """
 

@@ -217,9 +217,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 ids AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -50,13 +50,17 @@ def zip_index_join(
     """
     if max_rows is not None:
         for side, df in (("left", left), ("right", right)):
-            n = df.count()
+            # Bounded probe: LIMIT max_rows+1 caps the guard's own work at
+            # max_rows+1 rows regardless of input size — a full count()
+            # here would materialize the entire lineage just to refuse it.
+            n = df.limit(max_rows + 1).count()
             if n > max_rows:
                 raise ValueError(
-                    f"zip_index_join: {side} side has {n} rows > max_rows="
-                    f"{max_rows}; a positional join forces a single-partition "
-                    "global sort. Re-key upstream (real join key or two-level "
-                    "row_number) or pass max_rows=None to force."
+                    f"zip_index_join: {side} side has >{max_rows} rows "
+                    f"(max_rows={max_rows}); a positional join forces a "
+                    "single-partition global sort. Re-key upstream (real join "
+                    "key or two-level row_number) or pass max_rows=None to "
+                    "force."
                 )
     wl = Window.orderBy(*[F.col(c) for c in left_order])
     wr = Window.orderBy(*[F.col(c) for c in right_order])
@@ -108,15 +112,19 @@ def asof_backward_join(
     LAST in (ts, tiebreak) ascending order wins, i.e. the max tiebreak).
     Output: every ``left`` column + ``payload_cols`` from the right side.
     """
-    sort_cols = [right_ts] + ([right_tiebreak] if right_tiebreak else [])
-    # Shared merge schema: key, t, tag, payloads (null on left rows), then
-    # the left columns (null on right rows).
+    # Shared merge schema: key, t, tag, packed payload (null on left rows),
+    # then the left columns (null on right rows).  The payload travels as
+    # ONE struct built only on right rows: a per-column last(ignorenulls)
+    # would fill a NULL field of the matched row from an OLDER right row,
+    # mixing values across right rows — packing keeps the matched row's
+    # actual NULLs and guarantees all payload columns come from the same
+    # right row.
     left_cols = [c for c in left.columns]
     rhs = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__tag"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
             for c in left_cols
@@ -129,10 +137,7 @@ def asof_backward_join(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
-            for c in payload_cols
-        ],
+        F.lit(None).cast(rhs.schema["__p"].dataType).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
         F.lit(None).cast(rhs.schema["__tb"].dataType).alias("__tb"),
     )
@@ -145,12 +150,10 @@ def asof_backward_join(
         .orderBy("__t", "__tag", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = merged
-    for c in payload_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.where(F.col("__tag") == 1).select(
+    carried = merged.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
+    return carried.where(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        *[F.col(c) for c in payload_cols],
+        *[F.col("__p").getField(c).alias(c) for c in payload_cols],
     )
 
 
@@ -173,14 +176,33 @@ def asof_forward_join(
     running ``last()`` picks the forward-earliest row; ties at equal
     ``right_ts`` resolve to the MIN tiebreak (mirror of backward's max).
     Timestamp/date payloads pass through untouched — only the merge keys
-    are negated, internally."""
+    are negated, internally.  ``right_tiebreak`` must be numeric: ties
+    resolve by negating the column, and a non-numeric tiebreak would cast
+    to NULL silently, making tie resolution nondeterministic — so it is
+    validated loudly instead."""
     neg_l = f"__neg_{left_ts}"
     neg_r = f"__neg_{right_ts}"
     lhs = left.withColumn(neg_l, -F.unix_micros(F.col(left_ts).cast("timestamp")))
     rhs = right.withColumn(neg_r, -F.unix_micros(F.col(right_ts).cast("timestamp")))
     tb = None
     if right_tiebreak:
-        rhs = rhs.withColumn("__neg_tb", -F.col(right_tiebreak))
+        from pyspark.sql.types import DateType, NumericType, TimestampType
+
+        dt = right.schema[right_tiebreak].dataType
+        if isinstance(dt, (TimestampType, DateType)):
+            rhs = rhs.withColumn(
+                "__neg_tb", -F.unix_micros(F.col(right_tiebreak).cast("timestamp"))
+            )
+        elif isinstance(dt, NumericType):
+            rhs = rhs.withColumn("__neg_tb", -F.col(right_tiebreak))
+        else:
+            raise TypeError(
+                f"asof_forward_join: right_tiebreak '{right_tiebreak}' has "
+                f"non-orderable-by-negation type {dt.simpleString()}; ties "
+                "resolve by negating the column, which would silently cast a "
+                "string to NULL. Use a numeric/timestamp/date tiebreak (e.g. "
+                "a monotonically increasing id or unix_micros(ts))."
+            )
         tb = "__neg_tb"
     out = asof_backward_join(
         lhs, rhs, key, neg_l, neg_r, payload_cols, right_tiebreak=tb

@@ -385,7 +385,12 @@ def run_incremental_dedup(
     3. append the batch's flagged pairs to ``{work_dir}/flagged`` and the
        surviving docs' buckets to the index, both keyed by batch id via
        the idempotent writer — a replayed batch overwrites its own
-       output, so crash+resume never double-inserts index rows.
+       output, so crash+resume never double-inserts index rows.  The
+       probe additionally EXCLUDES the current batch's own index
+       partition and id self-pairs: a crash between the index write and
+       the checkpoint commit replays the batch against an index that
+       already contains its buckets, which would otherwise flag every
+       doc as a duplicate of itself.
 
     State is the parquet index itself — bucket-partitionable, mergeable,
     no in-memory store to size; at 100 TB the index is just another
@@ -420,13 +425,35 @@ def run_incremental_dedup(
         try:
             probes = band_buckets(batch_df, id_col, text_col)
             flagged = None
-            if _os.path.isdir(index_dir) and any(
-                f.startswith("batch_id=") for f in _os.listdir(index_dir)
-            ):
-                idx = spark.read.parquet(index_dir)
+            def _part_id(dirname: str) -> int | None:
+                try:
+                    return int(dirname.split("=", 1)[1])
+                except (IndexError, ValueError):
+                    return None
+
+            prior_parts = [
+                f
+                for f in (
+                    _os.listdir(index_dir) if _os.path.isdir(index_dir) else []
+                )
+                if f.startswith("batch_id=")
+                and (_part_id(f) is not None and _part_id(f) < batch_id)
+            ]
+            if prior_parts:
+                # Replay safety: a crash after the index write but before the
+                # checkpoint commit means a replayed batch's own buckets (and
+                # possibly later batches') are already in the index.  Probing
+                # only STRICTLY EARLIER batch partitions makes replay
+                # idempotent — the current batch never collides with itself,
+                # and a full-checkpoint replay reproduces the original flagged
+                # output exactly.  Id self-pairs are dropped as a second guard.
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("batch_id").cast("long") < F.lit(batch_id)
+                )
                 flagged = (
                     probes.alias("n")
                     .join(idx.alias("e"), F.col("n.bucket") == F.col("e.bucket"))
+                    .where(F.col(f"n.{id_col}") != F.col(f"e.{id_col}"))
                     .select(
                         F.col(f"n.{id_col}").alias("new_id"),
                         F.col(f"e.{id_col}").alias("existing_id"),

@@ -85,6 +85,50 @@ class ParityResult:
         return f"{'PASS' if self.ok else 'FAIL'} {self.name}: {self.detail}"
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Coarse value-kind of a column, so an int64 Spark column and a
+    float64/object oracle column (DuckDB HUGEINT fallout) register as
+    DIFFERENT even when every value canonicalizes to the same string.
+    The driver's hash is dtype-sensitive; this keeps the local gate at
+    least as strict."""
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    # object column: judge by the first non-null value
+    for v in series:
+        if v is None:
+            continue
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+            return "int"
+        if isinstance(v, float) or type(v).__name__.startswith("float"):
+            return "float"
+        if isinstance(v, (_dt.datetime, pd.Timestamp)):
+            return "datetime"
+        if isinstance(v, _dt.date):
+            return "date"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "list"
+        if isinstance(v, dict):
+            return "dict"
+        return type(v).__name__
+    return "empty"  # all-null column — compatible with anything
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if sc != oc:
@@ -93,6 +137,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Par
         return ParityResult(
             name, False, f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
         )
+    for c in sc:
+        sk, ok_ = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+        if sk != ok_ and "empty" not in (sk, ok_):
+            return ParityResult(
+                name,
+                False,
+                f"dtype kind differs for '{c}': spark={sk}({spark_pdf[c].dtype}) "
+                f"oracle={ok_}({oracle_pdf[c].dtype}) — likely HUGEINT/cast drift; "
+                f"CAST the oracle column explicitly",
+            )
     srows, orows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
     if srows != orows:
         diff = next(

@@ -37,27 +37,66 @@ def test_entry_smoke(spark):
 
 
 def test_registry_rotation_is_self_maintaining(monkeypatch):
-    """Keys verified green by a round-2+ harness report must yield their
-    front-of-registry slot automatically; with only round-1 reports the
-    curated head stays pinned."""
+    """Keys verified green by a harness report must yield their
+    front-of-registry slot automatically.  Hermetic: the verified set is
+    monkeypatched to fixtures so the assertion holds regardless of which
+    CORRECTNESS_r*.json files the live repo root carries."""
     import historic_score_etl_pipeline_spark.contract as c
 
+    # Baseline fixture: only the static round-1 set is verified, so the
+    # curated head keeps its slots.
+    monkeypatch.setattr(
+        c, "_verified_from_reports", lambda: frozenset(c._VERIFIED_R01)
+    )
     before = list(c._merged())
-    assert before[0] == c._ROUND_HEAD[0]
+    head_live = [k for k in c._ROUND_HEAD if k in before]
+    assert before[0] == head_live[0]
 
-    confirmed = {c._ROUND_HEAD[0], c._ROUND_HEAD[7]}
-    orig = c._verified_from_reports
+    # Fixture round-2 report confirms two head keys green — they must
+    # retire behind the never-verified block.
+    confirmed = {head_live[0], head_live[7]}
     monkeypatch.setattr(
         c,
         "_verified_from_reports",
-        lambda: frozenset(set(orig()) | confirmed),
+        lambda: frozenset(set(c._VERIFIED_R01) | confirmed),
     )
     after = list(c._merged())
-    # confirmed head keys retire past the never-verified block
     for k in confirmed:
-        assert after.index(k) > after.index(before[-1]) - len(
-            c._VERIFIED_R01
-        ) - len(confirmed), k
-        assert k not in after[:45]
+        assert k not in after[:45], k
     # registry contents unchanged, only order
     assert sorted(after) == sorted(before)
+
+
+def test_compare_rejects_hugeint_dtype_drift():
+    """A DuckDB HUGEINT column reaches pandas as float64 or object; the
+    driver's hash is dtype-sensitive, so the local gate must fail the
+    same way even when every value canonicalizes identically."""
+    import pandas as pd
+
+    spark_pdf = pd.DataFrame(
+        {"k": ["a", "b"], "s": pd.array([1, 2], dtype="int64")}
+    )
+    as_float = pd.DataFrame({"k": ["a", "b"], "s": [1.0, 2.0]})
+    r = compare("hugeint_float", spark_pdf, as_float)
+    assert not r.ok and "dtype kind" in r.detail
+    as_obj = pd.DataFrame(
+        {"k": ["a", "b"], "s": pd.Series([1.5, 2.5], dtype=object)}
+    )
+    assert not compare("hugeint_obj", spark_pdf, as_obj).ok
+
+
+def test_compare_rejects_live_uncast_duckdb_sum():
+    """End-to-end: an oracle written without CAST(sum(...) AS BIGINT)
+    must fail compare() against an int64 Spark result."""
+    import duckdb
+    import pandas as pd
+
+    odf = (
+        duckdb.connect()
+        .execute(
+            "SELECT sum(x) AS s FROM (VALUES (CAST(1 AS INTEGER)), (2)) t(x)"
+        )
+        .df()
+    )
+    spark_like = pd.DataFrame({"s": pd.array([3], dtype="int64")})
+    assert not compare("live_hugeint", spark_like, odf).ok

@@ -255,3 +255,57 @@ def test_incremental_dedup_stream_flags_cross_batch_duplicate(spark, tmp_path):
     assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
         1, 2, 10, 11,
     }
+
+
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay scenario: the index write committed but the streaming
+    checkpoint did not, so the batch replays against an index that
+    already contains its OWN buckets.  The probe must exclude the
+    current batch partition and id self-pairs — otherwise every doc in
+    the replayed batch is flagged as a duplicate of itself."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from historic_score_etl_pipeline_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "work")
+
+    t_dup = "spark shuffles partition data across the cluster by key hash"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [t_dup, "window functions rank rows"]}),
+        landing / "b1.parquet",
+    )
+    _time.sleep(1.1)
+    pq.write_table(
+        pa.table({"doc_id": [10, 11], "text": [t_dup, "totally unrelated referee words"]}),
+        landing / "b2.parquet",
+    )
+
+    # First run writes index partitions batch_id=0 and batch_id=1.
+    run_incremental_dedup(spark, str(landing), work)
+    baseline = {
+        (r["new_id"], r["existing_id"])
+        for r in spark.read.parquet(f"{work}/flagged").collect()
+    }
+    assert (10, 1) in baseline
+
+    # Simulate the crash: delete the checkpoint but KEEP index + flagged.
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt")
+    run_incremental_dedup(spark, str(landing), work)
+
+    replayed = {
+        (r["new_id"], r["existing_id"])
+        for r in spark.read.parquet(f"{work}/flagged").collect()
+    }
+    assert all(n != e for n, e in replayed), f"self-pairs after replay: {replayed}"
+    assert replayed == baseline, (
+        f"replay changed flagged output: {replayed ^ baseline}"
+    )

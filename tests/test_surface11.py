@@ -126,3 +126,69 @@ def test_scan_xml_groups(spark, sf_oracle):
     out = scan_xml(spark, sf_oracle)
     assert out.where(F.col("n_docs") <= 0).count() == 0
     assert out.count() > 0
+
+
+def test_asof_backward_null_payload_field_survives(spark):
+    """The matched right row's actual NULL fields must survive: a
+    per-column last(ignorenulls) would backfill them from an OLDER right
+    row, mixing payload values across right rows.  The packed-struct
+    carry keeps all payload columns from the single matched row."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_backward_join,
+    )
+
+    right = spark.createDataFrame(
+        [
+            ("k1", 1, "old_a", "old_b"),
+            ("k1", 5, None, "new_b"),  # latest prior row: a IS NULL
+        ],
+        "k string, t int, a string, b string",
+    )
+    left = spark.createDataFrame([("k1", 10)], "k string, t int")
+    row = asof_backward_join(left, right, "k", "t", "t", ["a", "b"]).first()
+    assert row["b"] == "new_b"
+    assert row["a"] is None, "NULL field was backfilled from an older row"
+
+
+def test_asof_backward_no_prior_row_gives_all_nulls(spark):
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_backward_join,
+    )
+
+    right = spark.createDataFrame(
+        [("k1", 50, "x", "y")], "k string, t int, a string, b string"
+    )
+    left = spark.createDataFrame([("k1", 10)], "k string, t int")
+    row = asof_backward_join(left, right, "k", "t", "t", ["a", "b"]).first()
+    assert row["a"] is None and row["b"] is None
+
+
+def test_asof_forward_rejects_string_tiebreak(spark):
+    """A string tiebreak would negate to NULL silently, so the forward
+    as-of validates and raises instead."""
+    import pytest
+
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_forward_join,
+    )
+
+    ts = "2024-01-01 00:00:00"
+    right = spark.createDataFrame(
+        [("k1", ts, "idA", "p")], "k string, t string, tb string, a string"
+    ).withColumn("t", F.to_timestamp("t"))
+    left = spark.createDataFrame([("k1", ts)], "k string, t string").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    with pytest.raises(TypeError, match="non-orderable-by-negation"):
+        asof_forward_join(left, right, "k", "t", "t", ["a"], right_tiebreak="tb")
+    # numeric tiebreak still works
+    ok = asof_forward_join(
+        left,
+        right.withColumn("tbn", F.lit(7)),
+        "k",
+        "t",
+        "t",
+        ["a"],
+        right_tiebreak="tbn",
+    )
+    assert ok.first()["a"] == "p"
