@@ -97,6 +97,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # repaired in round 2 (TIMESTAMP_NTZ ingestion fix) — prove it externally
     "stream_tumbling_daily", "stream_sliding_count", "stream_session_gap",
     "window_range_7d", "stream_stream_join", "sessionize_batch",
+    # round 3: last of the ten HUGEINT-oracle CAST repairs — pinned so the
+    # whole class is externally confirmed dead in one round (the other
+    # eight already sit inside the head-50 by insertion order)
+    "safe_math", "udf_arrow_native",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

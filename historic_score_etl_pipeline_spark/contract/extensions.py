@@ -29,6 +29,7 @@ from historic_score_etl_pipeline_spark.operators.dedup import (
     text_fingerprint,
 )
 from historic_score_etl_pipeline_spark.operators.multimodal import (
+    documents_as_image_media,
     documents_as_media,
     extract_features,
 )
@@ -453,14 +454,45 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (decode step
-    stubbed with a deterministic fake — see operators.multimodal)."""
+    """Arrow-batched feature extraction over REAL image payloads: each
+    document renders to a genuine 24-bit BMP, and extract_features
+    decodes the actual file format (header parse, row padding, BGR
+    order) — pixel-derived width/height/mean, decoded=true throughout
+    (operators/multimodal.py::decode_bmp)."""
     from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
 
-    media = documents_as_media(
+    media = documents_as_image_media(
         ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     )
     return extract_features(media)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable REAL decode: render_text_bmp sizes the pixel grid
+    arithmetically from the text's byte length (w = nb % 24 + 8,
+    h = nb % 16 + 8), so DuckDB can verify the DECODED dimensions from
+    octet_length alone — if the BMP writer or parser mangled the header,
+    padding, or row order, width/height/n_pixels would not match."""
+    media = documents_as_image_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        (F.col("width").cast("long") * F.col("height")).alias("n_pixels"),
+        F.col("decoded"),
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(coalesce(text, ''))) % 24 + 8 AS width,
+       octet_length(encode(coalesce(text, ''))) % 16 + 8 AS height,
+       (octet_length(encode(coalesce(text, ''))) % 24 + 8)
+       * (octet_length(encode(coalesce(text, ''))) % 16 + 8) AS n_pixels,
+       true AS decoded
+FROM documents
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -481,4 +513,5 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(text_fingerprint_q, TEXT_FINGERPRINT_SQL),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": QuerySpec(multimodal_features, None),
+    "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
 }
