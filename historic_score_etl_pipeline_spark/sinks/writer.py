@@ -122,12 +122,52 @@ def retried_write(
     return False
 
 
+# The reference's Postgres DDL for its one table, column-for-column
+# (app/team_utilities.py:345-358): seven VARCHARs and five JSONB documents.
+# Spark's JDBC writer would default every StringType to TEXT; passing this
+# mapping through ``createTableColumnTypes`` reproduces the exact dialect
+# types when Spark itself creates the table.
+HISTORIC_MATCH_COLUMN_TYPES: dict[str, str] = {
+    "date": "VARCHAR(64)",
+    "hometeam": "VARCHAR(256)",
+    "awayteam": "VARCHAR(256)",
+    "match_urls": "VARCHAR(1024)",
+    "home_urls": "VARCHAR(1024)",
+    "away_urls": "VARCHAR(1024)",
+    "league": "VARCHAR(256)",
+    "home_team_matches": "JSONB",
+    "away_team_matches": "JSONB",
+    "head2head_matches": "JSONB",
+    "home_team_matchespattern": "JSONB",
+    "away_team_matchespattern": "JSONB",
+}
+
+
+def column_types_ddl(column_types: dict[str, str]) -> str:
+    """Render a ``createTableColumnTypes`` option value from a mapping.
+
+    Postgres JSONB note (the reference's target dialect): Spark sends JSON
+    documents as plain JDBC strings, and Postgres rejects implicit
+    varchar→jsonb parameter binding unless the connection URL carries
+    ``stringtype=unspecified`` — so a production Postgres URL looks like
+    ``jdbc:postgresql://host/db?stringtype=unspecified``.  With that flag,
+    ``to_json``-serialized columns land as real JSONB, matching the
+    reference's ``json.dumps`` → ``to_sql`` path
+    (app/team_utilities.py:323,365).  Embedded Derby (the CI database,
+    tests/test_jdbc_sink.py) has no JSONB type, so tests exercise this
+    plumbing with VARCHAR types; only the mapping values change per
+    dialect.
+    """
+    return ", ".join(f"{name} {sql_type}" for name, sql_type in column_types.items())
+
+
 def jdbc_write(
     df: DataFrame,
     url: str,
     table: str,
     mode: str = "append",
     batchsize: int = 10_000,
+    column_types: dict[str, str] | None = None,
     **options: str,
 ) -> None:
     """JDBC sink parity with the reference's SQLAlchemy ``to_sql`` batch
@@ -140,12 +180,14 @@ def jdbc_write(
     reference's retry loop has (app/team_utilities.py:510-522) and this
     engine's parquet batch-id writer avoids.  Against a production
     Postgres only the url/driver options change."""
-    (
+    writer = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("batchsize", str(batchsize))
-        .options(**options)
-        .mode(mode)
-        .save()
     )
+    if column_types:
+        writer = writer.option(
+            "createTableColumnTypes", column_types_ddl(column_types)
+        )
+    writer.options(**options).mode(mode).save()

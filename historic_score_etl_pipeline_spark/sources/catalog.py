@@ -13,8 +13,38 @@ API is identical, so the code below does not change — only the paths do.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Pin a session conf the catalog's semantics depend on — loudly.
+
+    Contract (documented here and in ARCHITECTURE.md): ``load_table``
+    requires a UTC session timezone (timestamp→date truncation parity with
+    the timezone-naive DuckDB oracle) and nanos-as-long parquet reads for
+    ``events``.  The harness calls our queries with its own session, so we
+    cannot rely on :func:`~historic_score_etl_pipeline_spark.session.get_spark`
+    having run.  We therefore pin the conf, but never *silently*: when the
+    caller's session already satisfies the requirement this is a no-op, and
+    when it does not we emit a UserWarning naming the conf we changed so a
+    host application embedding the library sees the mutation.
+    """
+    try:
+        current = spark.conf.get(key, None)
+    except Exception:  # conf key unknown to this Spark build
+        current = None
+    if current == value:
+        return
+    warnings.warn(
+        f"historic_score_etl_pipeline_spark: pinning session conf {key}="
+        f"{value!r} (was {current!r}) — required for oracle-parity "
+        "timestamp semantics; see sources/catalog.py docstring",
+        UserWarning,
+        stacklevel=3,
+    )
+    spark.conf.set(key, value)
 
 TABLES = (
     "region",
@@ -57,11 +87,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp→date/bucket semantics must not depend on the caller's
     # session timezone (the harness brings its own session): parquet
     # instants render as UTC wall-clock, exactly how the timezone-naive
-    # DuckDB oracle sees the same values.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DuckDB oracle sees the same values.  No-op when already UTC; warns
+    # when it must actually mutate the caller's session (see _ensure_conf).
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
@@ -126,7 +157,7 @@ def stage_landing_zone(
         with open(marker) as f:
             if f.read() == sig:
                 return out_dir
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         # saturate the cores for any non-tiny table — rows are a poor proxy

@@ -99,3 +99,72 @@ def test_jdbc_predicate_pushdown_on_read(spark, tmp_path):
     assert back.count() == 100
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "bucket" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_jdbc_create_table_column_types_applied(spark, tmp_path):
+    """The reference pins its DDL types per column — VARCHARs plus five
+    JSONB documents (app/team_utilities.py:345-358).  Spark's twin is the
+    ``createTableColumnTypes`` option; prove the plumbing end-to-end on
+    Derby with VARCHAR widths (Derby has no JSONB — the Postgres mapping
+    swaps JSONB in and adds ``stringtype=unspecified`` to the URL, per
+    sinks/writer.py:column_types_ddl)."""
+    import json
+
+    from historic_score_etl_pipeline_spark.sinks.writer import column_types_ddl
+
+    url = _derby_url(tmp_path, "ddl")
+    df = spark.createDataFrame(
+        [("2024-05-01", "home", json.dumps({"w": 3, "l": 1}))],
+        "match_date string, hometeam string, home_team_matches string",
+    )
+    jdbc_write(
+        df,
+        url,
+        "t_ddl",
+        column_types={
+            "match_date": "VARCHAR(64)",
+            "hometeam": "VARCHAR(256)",
+            "home_team_matches": "VARCHAR(4000)",
+        },
+        driver=DERBY_DRIVER,
+    )
+    back = _read_back(spark, url, "t_ddl")
+    assert back.count() == 1
+    row = back.collect()[0]
+    assert json.loads(row["home_team_matches"]) == {"w": 3, "l": 1}
+    # Behavioral proof the declared types were applied: VARCHAR(64) must
+    # reject an over-width value, where Spark's Derby default for
+    # StringType (CLOB) would happily accept it.
+    too_wide = spark.createDataFrame(
+        [("x" * 65, "h", "{}")],
+        "match_date string, hometeam string, home_team_matches string",
+    )
+    with pytest.raises(Exception, match="(?i)truncat|too long|22001"):
+        jdbc_write(too_wide, url, "t_ddl", driver=DERBY_DRIVER)
+
+
+def test_historic_match_postgres_ddl_matches_reference():
+    """The shipped HISTORIC_MATCH_COLUMN_TYPES must reproduce the
+    reference's CREATE TABLE column list and JSONB placement exactly."""
+    from historic_score_etl_pipeline_spark.sinks.writer import (
+        HISTORIC_MATCH_COLUMN_TYPES,
+        column_types_ddl,
+    )
+
+    assert list(HISTORIC_MATCH_COLUMN_TYPES) == [
+        "date", "hometeam", "awayteam", "match_urls", "home_urls",
+        "away_urls", "league", "home_team_matches", "away_team_matches",
+        "head2head_matches", "home_team_matchespattern",
+        "away_team_matchespattern",
+    ]
+    jsonb_cols = {
+        k for k, v in HISTORIC_MATCH_COLUMN_TYPES.items() if v == "JSONB"
+    }
+    assert jsonb_cols == {
+        "home_team_matches", "away_team_matches", "head2head_matches",
+        "home_team_matchespattern", "away_team_matchespattern",
+    }
+    ddl = column_types_ddl(HISTORIC_MATCH_COLUMN_TYPES)
+    assert ddl.startswith("date VARCHAR(64), ") and ddl.endswith(
+        "away_team_matchespattern JSONB"
+    )
