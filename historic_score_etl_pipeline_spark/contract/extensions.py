@@ -495,6 +495,74 @@ FROM documents
 """
 
 
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec proof (operators/codecs.py): BMP-decode each
+    document's rendered image, re-encode as PNG (zlib IDAT, CRC chunks),
+    decode back, and require pixel-exact equality.  The oracle pins the
+    arithmetic dimensions AND ``png_ok=true`` per row — any defect in
+    chunk framing, scanline filtering or deflate round-trip fails the
+    external hash."""
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        png_roundtrip_features,
+    )
+
+    media = documents_as_image_media(load_table(spark, sf_dir, "documents"))
+    return png_roundtrip_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "png_ok",
+    )
+
+
+MULTIMODAL_PNG_ROUNDTRIP_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(coalesce(text, ''))) % 24 + 8 AS width,
+       octet_length(encode(coalesce(text, ''))) % 16 + 8 AS height,
+       (octet_length(encode(coalesce(text, ''))) % 24 + 8)
+       * (octet_length(encode(coalesce(text, ''))) % 16 + 8) AS n_pixels,
+       true AS png_ok
+FROM documents
+"""
+
+
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM audio decode (operators/codecs.py::decode_wav): each
+    document renders to a genuine RIFF/WAVE file whose sample count is an
+    arithmetic function of the text byte length (n = nb % 441 + 100 at
+    8 kHz mono → 125 µs per sample), so the decoded duration is
+    SQL-verifiable from octet_length while the amplitude still depends on
+    actual content (RMS/peak are pytest-asserted, not oracled)."""
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        documents_as_audio_media,
+        extract_audio_features,
+    )
+
+    media = documents_as_audio_media(load_table(spark, sf_dir, "documents"))
+    return extract_audio_features(media).select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_samples",
+        "duration_us",
+        "decoded",
+    )
+
+
+MULTIMODAL_AUDIO_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(octet_length(encode(coalesce(text, ''))) % 441 + 100 AS BIGINT)
+           AS n_samples,
+       CAST((octet_length(encode(coalesce(text, ''))) % 441 + 100) * 125
+           AS BIGINT) AS duration_us,
+       true AS decoded
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "udf_classify": QuerySpec(udf_classify, UDF_CLASSIFY_SQL),
     "udtf_explode_matches": QuerySpec(udtf_explode_matches, None),
@@ -514,4 +582,10 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_png_roundtrip": QuerySpec(
+        multimodal_png_roundtrip, MULTIMODAL_PNG_ROUNDTRIP_SQL
+    ),
+    "multimodal_audio_decode": QuerySpec(
+        multimodal_audio_decode, MULTIMODAL_AUDIO_DECODE_SQL
+    ),
 }

@@ -6,9 +6,11 @@ partition-preserving signatures.  The decode step is REAL for the two
 codec-free raster formats implemented here in pure numpy (24-bit
 uncompressed BMP and binary PPM/P6: header parse, row-padding/bottom-up
 layout, BGR↔RGB); :func:`extract_features` dispatches on magic bytes and
-decodes genuine image payloads end-to-end.  Formats that need an external
-codec (JPEG/PNG/audio) keep the clearly-marked stub gate
-(NotImplementedError, or the deterministic fake for plumbing tests).
+decodes genuine image payloads end-to-end.  PNG (stdlib zlib) and WAV/PCM
+audio decode for real via :mod:`operators.codecs`.  Only formats that need
+an external codec library (JPEG/WebP/Vorbis/H.264) keep the clearly-marked
+stub gate (NotImplementedError, or the deterministic fake for plumbing
+tests).
 
 At 100 TB: binary payloads dominate scan bytes, so the metadata struct is
 kept in separate (pruned) columns — a query touching only metadata never
@@ -135,15 +137,28 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode, dispatched on magic bytes.  Raises ValueError for
-    formats this container cannot decode without an external codec."""
+    """Real image decode, dispatched on magic bytes.  BMP and PPM decode
+    with the pure-numpy codecs above; PNG decodes through the stdlib-zlib
+    codec in :mod:`operators.codecs` (all five scanline filters, CRC
+    verified).  Raises ValueError for formats this container cannot decode
+    without an external codec library (JPEG/WebP/…)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from historic_score_etl_pipeline_spark.operators.codecs import decode_png
+
+        img = decode_png(payload)
+        if img.shape[2] == 3:
+            return img
+        if img.shape[2] == 4:  # drop alpha
+            return img[:, :, :3].copy()
+        # gray / gray+alpha → replicate luminance to RGB
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
     raise ValueError(
-        f"undecodable payload (magic {payload[:2]!r}); only BMP/PPM have "
-        "codec-free decoders in this environment"
+        f"undecodable payload (magic {payload[:2]!r}); only BMP/PPM/PNG "
+        "have codec-free decoders in this environment"
     )
 
 
@@ -198,15 +213,15 @@ def documents_as_image_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, *, fake: bool = True) -> tuple[int, int]:
-    """STUB for codec-REQUIRING formats (JPEG/PNG/…): BMP and PPM decode
-    for real via :func:`decode_image`; anything else either uses this
-    deterministic fake (default) or raises when a real decode is
+    """STUB for codec-REQUIRING formats (JPEG/WebP/…): BMP, PPM and PNG
+    decode for real via :func:`decode_image`; anything else either uses
+    this deterministic fake (default) or raises when a real decode is
     demanded."""
     if not fake:
         raise NotImplementedError(
-            "decode of codec-bearing formats (JPEG/PNG/…) requires an image "
-            "library (e.g. Pillow) not present in this environment; BMP/PPM "
-            "payloads decode for real via decode_image()"
+            "decode of codec-bearing formats (JPEG/WebP/…) requires an image "
+            "library (e.g. Pillow) not present in this environment; BMP/PPM/"
+            "PNG payloads decode for real via decode_image()"
         )
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1)
@@ -316,9 +331,9 @@ def resize_stub(payload: bytes, target_bytes: int, *, fake: bool = True) -> byte
     in → binary out, size contract) is testable for opaque payloads."""
     if not fake:
         raise NotImplementedError(
-            "resize of codec-bearing formats (JPEG/PNG/…) requires an image "
-            "library (e.g. Pillow) not present in this environment; BMP/PPM "
-            "payloads resize for real via resize_image()"
+            "resize of codec-bearing formats (JPEG/WebP/…) requires an image "
+            "library (e.g. Pillow) not present in this environment; BMP/PPM/"
+            "PNG payloads resize for real via resize_image()"
         )
     if not payload:
         return b"\x00" * target_bytes
@@ -375,3 +390,150 @@ def sample_frames(media: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> 
             )
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --- audio (WAV/PCM — real codec via operators.codecs) ----------------------
+
+AUDIO_SAMPLE_RATE = 8_000  # 125 µs per sample: duration_us stays integer-exact
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("decoded", BooleanType()),
+    ]
+)
+
+
+def render_text_wav(text: str) -> bytes:
+    """Deterministically render a document's text into a REAL PCM WAV:
+    ``n_samples = n_bytes % 441 + 100`` (arithmetic from byte length, so a
+    SQL oracle can verify the decoded duration from ``octet_length``
+    alone) at 8 kHz mono; the int16 samples cycle the utf-8 bytes, centred
+    and scaled, so amplitude statistics depend on actual content."""
+    raw = text.encode("utf-8")
+    nb = len(raw)
+    n = nb % 441 + 100
+    if nb == 0:
+        samples = np.zeros(n, dtype=np.int16)
+    else:
+        reps = n // nb + 1
+        cycled = np.frombuffer((raw * reps)[:n], dtype=np.uint8)
+        samples = ((cycled.astype(np.int16) - 128) << 8).astype(np.int16)
+    from historic_score_etl_pipeline_spark.operators.codecs import encode_wav
+
+    return encode_wav(samples, AUDIO_SAMPLE_RATE)
+
+
+def documents_as_audio_media(docs: DataFrame) -> DataFrame:
+    """Media table with GENUINE audio payloads: each document's text is
+    rendered into a real RIFF/WAVE PCM file inside Arrow-batched
+    mapInPandas, so downstream decode exercises the actual container
+    format (chunk walk, fmt parse, interleaved samples)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [render_text_wav(t or "") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(payloads),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: REAL WAV decode (via
+    operators.codecs.decode_wav) → sample-accurate duration, RMS and peak
+    amplitude.  Undecodable payloads get null features with
+    ``decoded=false`` instead of failing the batch — the corrupt-input
+    discipline every 100 TB media scan needs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from historic_score_etl_pipeline_spark.operators.codecs import decode_wav
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "sample_rate", "n_channels", "n_samples",
+                    "duration_us", "rms", "peak", "decoded",
+                )
+            }
+            for p in pdf["payload"]:
+                try:
+                    samples, rate = decode_wav(bytes(p))
+                    n, ch = samples.shape
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(ch)
+                    rows["n_samples"].append(n)
+                    rows["duration_us"].append(n * 1_000_000 // rate)
+                    flat = samples.astype(np.float64)
+                    rows["rms"].append(float(np.sqrt(np.mean(flat * flat))))
+                    rows["peak"].append(int(np.abs(samples).max()) if n else 0)
+                    rows["decoded"].append(True)
+                except ValueError:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_us", "rms", "peak"):
+                        rows[k].append(None)
+                    rows["decoded"].append(False)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **rows})
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+PNG_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("png_ok", BooleanType()),
+    ]
+)
+
+
+def png_roundtrip_features(media: DataFrame) -> DataFrame:
+    """End-to-end PNG codec proof over real image payloads: decode the
+    incoming image (BMP/PPM/PNG), re-encode it as PNG (zlib deflate,
+    CRC-framed chunks), decode the PNG back, and assert pixel-exact
+    equality (``png_ok``).  A header, filter, CRC or deflate bug anywhere
+    in the PNG path flips ``png_ok`` false — which the oracle checks
+    externally, row for row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from historic_score_etl_pipeline_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in it:
+            widths, heights, oks = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                back = decode_png(encode_png(img))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                oks.append(
+                    back.shape == img.shape and bool(np.array_equal(back, img))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": widths,
+                    "height": heights,
+                    "n_pixels": [w * h for w, h in zip(widths, heights)],
+                    "png_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(batches, PNG_ROUNDTRIP_SCHEMA)
