@@ -489,7 +489,64 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "flagged"))
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (repeated-token / repeated-bigram
+    counts) per document — the quality gate signal the length/punct/
+    stopword features miss (operators/text.py::repetition_stats).
+    Integer-exact numerators and denominators so the oracle hash is
+    float-free."""
+    from historic_score_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+TEXT_REPETITION_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(t) AS tok FROM toks
+),
+uni_cnt AS (
+    SELECT doc_id, tok, count(*) AS cnt FROM uni GROUP BY doc_id, tok
+),
+uni_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(max(cnt) AS BIGINT) AS top_token_cnt
+    FROM uni_cnt GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                  ELSE [] END) AS bg
+    FROM toks
+),
+bg_cnt AS (
+    SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg
+),
+bg_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(max(cnt) AS BIGINT) AS top_bigram_cnt
+    FROM bg_cnt GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tokens, u.n_distinct_tokens, u.top_token_cnt,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt
+FROM uni_doc u LEFT JOIN bg_doc b USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "text_pack_shards": QuerySpec(text_pack_shards, TEXT_PACK_SHARDS_SQL),
     "text_quality_filter": QuerySpec(
         text_quality_filter, TEXT_QUALITY_FILTER_SQL

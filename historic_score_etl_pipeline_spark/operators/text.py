@@ -85,3 +85,72 @@ def quality_features(col: Column | str) -> dict[str, Column]:
             F.lit(0.0)
         ),
     }
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    §A1.1: repeated-token and repeated-n-gram fractions drive the
+    quality gate).  Outputs are integer-exact counts — numerators and
+    denominators, not floats — so external oracles hash-match without
+    float-rounding drift; callers derive fractions.
+
+    Columns: ``n_tokens``, ``n_distinct_tokens``, ``top_token_cnt`` (count
+    of the most frequent token), ``n_bigrams``, ``top_bigram_cnt``.
+
+    Scale shape: explode → two-level aggregate, every stage keyed on the
+    document id, so Spark plans ONE shuffle per n-gram order and the
+    per-key state is bounded by per-doc vocabulary (no collect_list of
+    the whole token stream).  Ties need no break — only the max count is
+    taken, never the arg-max token.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    ).withColumn("t", F.filter("t", lambda x: x != ""))
+
+    uni = (
+        toks.select(id_col, F.explode("t").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("cnt").alias("top_token_cnt"),
+        )
+    )
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            # sequence(0, -1) descends in Spark, so guard short docs with
+            # an explicit empty array instead of a sequence bound
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1])) ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bi = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_cnt"),
+        )
+    )
+    # left join: a 0/1-token doc has no bigrams → zeros, not dropped rows
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+            F.col("top_token_cnt").cast("long").alias("top_token_cnt"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("long").alias(
+                "top_bigram_cnt"
+            ),
+        )
+    )

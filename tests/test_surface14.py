@@ -180,3 +180,39 @@ def test_incremental_lsh_never_pairs_existing_with_existing(spark, sf_oracle):
     for r in rows:
         assert r["new_id"] >= 400
         assert r["first_existing_id"] < 400
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Known-answer check: 'a a a b' → 4 tokens, 2 distinct, top 3;
+    bigrams [a a, a a, a b] → 3 total, top 2.  Degenerate docs (empty,
+    single-token) keep a row with zero bigrams instead of vanishing."""
+    from historic_score_etl_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "solo"), (3, "  "), (4, "x y x y x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct_tokens"] == 2
+    assert rows[1]["top_token_cnt"] == 3
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["top_bigram_cnt"] == 2
+    assert rows[2]["n_tokens"] == 1 and rows[2]["n_bigrams"] == 0
+    assert rows[4]["top_bigram_cnt"] == 2  # 'x y' appears twice
+    # empty doc: trim+filter leaves no tokens → no unigram row at all;
+    # that doc legitimately has no repetition signal (doc 3 absent)
+    assert 3 not in rows
+
+
+def test_repetition_stats_single_shuffle_per_order(spark, sf_oracle):
+    """Scale shape: the plan must not contain a collect_list of the token
+    stream, and the unigram branch aggregates twice on the same doc_id
+    key (partial → final), not via a window."""
+    from historic_score_etl_pipeline_spark.operators.text import repetition_stats
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    plan = (
+        repetition_stats(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" not in plan and "Window" not in plan
