@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_contamination",  # chunk-hash contamination equi-join
     "shuffle_shard_pos",    # training shuffle (shard + rank-within-shard)
     "dedup_pipeline_e2e",   # LSH → verify → components → survivors
+    "text_repetition",      # explode → two-level agg repetition counts (r3)
+    "multimodal_png_roundtrip",  # Arrow-batched real codec path (r3)
 ]
 
 
