@@ -52,6 +52,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface13,
         surface14,
         surface15,
+        surface16,
         windows,
     )
 
@@ -77,6 +78,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface13,
         surface14,
         surface15,
+        surface16,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,137 @@
+"""Round-3 curation batch (batch 22): embedding quantization and
+temperature-based mixture sampling — two staples of large-scale
+training-data preparation beyond the reference's surface (north-star
+extension per BASELINE.json; public grounding: faiss scalar
+quantization, T5/mT5 temperature-weighted language mixing).
+
+Determinism rules: explicit half-up rounding via ``floor(x + 0.5)`` in
+BOTH engines (never the engine's ``round`` whose half-mode may differ),
+md5-ordered ranking with the doc id as total-order tiebreak, integer or
+round-6 outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization over the embeddings table
+    (operators/similarity.py::quantize_int8).  Expression-level
+    transform/array_max — one projection, zero shuffles; the oracle
+    recomputes every code in SQL, so quantized codes are value-exact
+    across engines."""
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding").select(
+        "vec_id", "q_scale_r6", "q_codes"
+    )
+
+
+EMBED_QUANTIZE_INT8_SQL = """
+WITH scaled AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS scale,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 6) AS q_scale_r6,
+       CASE WHEN scale > 0
+            THEN list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                      AS INTEGER))
+            ELSE list_transform(embedding, x -> 0)
+       END AS q_codes
+FROM scaled
+"""
+
+
+_ALPHA = 0.5  # temperature exponent (T5-style alpha-smoothing)
+_N_TARGET = 200
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling: per-language quotas
+    proportional to ``n_lang ** alpha`` (alpha=0.5 upsamples the tail the
+    way multilingual-pretraining mixes do), filled deterministically by
+    md5(doc_id) order — no RNG state, identical picks on any cluster or
+    rerun.
+
+    Scale shape: the per-language counts are a tiny aggregate (|langs|
+    rows) broadcast back onto the corpus; selection is one hash-ordered
+    window per language — rank within small quota, prunable at the
+    window by quota pushdown at 100 TB (rank ≤ quota is a running
+    top-K, not a full sort of the corpus when the engine applies the
+    window-limit optimization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.select(
+        "lang", "n_docs", F.pow(F.col("n_docs").cast("double"), _ALPHA).alias("w")
+    )
+    total = weights.agg(F.sum("w").alias("w_sum"))
+    quota = (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(_N_TARGET)) * F.col("w") / F.col("w_sum") + 0.5),
+            ).cast("long").alias("quota"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH counts AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+weights AS (
+    SELECT lang, pow(CAST(n_docs AS DOUBLE), 0.5) AS w FROM counts
+),
+quota AS (
+    SELECT lang,
+           greatest(1, CAST(floor(200.0 * w / (SELECT sum(w) FROM weights)
+                             + 0.5) AS BIGINT)) AS quota
+    FROM weights
+),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+    FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.rk <= q.quota
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "embed_quantize_int8": QuerySpec(embed_quantize_int8, EMBED_QUANTIZE_INT8_SQL),
+    "sample_temperature": QuerySpec(sample_temperature, SAMPLE_TEMPERATURE_SQL),
+}

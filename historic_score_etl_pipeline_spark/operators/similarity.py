@@ -334,3 +334,29 @@ def ivf_topk_kmeans(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× memory cut that
+    makes a 100 TB embedding corpus fit an ANN serving tier (public
+    practice: faiss SQ8 / product-quantization literature).
+
+    scale = max(|x_i|); q_i = floor(x_i * 127 / scale + 0.5) (explicit
+    half-up via floor so the arithmetic is engine-portable — double
+    rounding mode differences can't leak into the stored codes).
+    Zero vectors quantize to all-zero codes with scale 0.
+
+    Everything is expression-level `transform`/`aggregate` over the
+    array column — one projection, no shuffle, no Python.  Max
+    dequantization error is scale/254, asserted in tests.
+    """
+    v = as_double_array(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale > 0, F.transform(
+        v, lambda x: F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast("int")
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        "*",
+        F.round(scale, 6).alias("q_scale_r6"),
+        q.alias("q_codes"),
+    )
