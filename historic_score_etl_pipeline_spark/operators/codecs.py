@@ -34,9 +34,11 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
     """Encode (H, W) or (H, W, C∈{1,2,3,4}) uint8 as a non-interlaced
-    8-bit PNG (filter 0 rows, one zlib IDAT)."""
+    8-bit PNG (filter 0 rows, one zlib IDAT).  ``level`` is the deflate
+    effort (1 = fastest, 9 = smallest) — any level yields a valid PNG,
+    so throughput-bound pipelines pick 1."""
     if pixels.dtype != np.uint8:
         raise ValueError("encode_png expects a uint8 array")
     if pixels.ndim == 2:
@@ -62,7 +64,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 
