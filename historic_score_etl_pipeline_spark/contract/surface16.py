@@ -131,7 +131,65 @@ WHERE r.rk <= q.quota
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: for each click, the purchase CLOSEST in time in
+    either direction by the same user (ties → the prior purchase —
+    pandas merge_asof direction='nearest' convention), plus which
+    direction won.  One exchange, one sort, both direction carries in
+    the same window pass, zero join operators
+    (operators/joins.py::asof_nearest_join, plan-asserted); the oracle
+    states the naive conditional join ranked by absolute distance, so
+    the hash-match proves plan equivalence."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_nearest_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return asof_nearest_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        payload_cols=["purchase_id"],
+        right_tiebreak="purchase_id",
+    ).select("click_id", "user_id", "purchase_id", "asof_dir")
+
+
+JOIN_ASOF_NEAREST_SQL = """
+SELECT click_id, user_id, purchase_id, asof_dir
+FROM (
+  SELECT c.click_id, c.user_id, p.purchase_id,
+         CASE WHEN p.purchase_id IS NULL THEN NULL
+              WHEN p.p_ts <= c.c_ts THEN 'backward'
+              ELSE 'forward' END AS asof_dir,
+         row_number() OVER (
+             PARTITION BY c.click_id
+             ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) ASC,
+                      CASE WHEN p.p_ts <= c.c_ts THEN 0 ELSE 1 END ASC,
+                      CASE WHEN p.p_ts <= c.c_ts THEN -p.purchase_id
+                           ELSE p.purchase_id END ASC) AS rn
+  FROM (SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+             FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.p_user
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embed_quantize_int8": QuerySpec(embed_quantize_int8, EMBED_QUANTIZE_INT8_SQL),
     "sample_temperature": QuerySpec(sample_temperature, SAMPLE_TEMPERATURE_SQL),
+    "join_asof_nearest": QuerySpec(join_asof_nearest, JOIN_ASOF_NEAREST_SQL),
 }

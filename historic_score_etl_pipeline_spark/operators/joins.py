@@ -348,3 +348,91 @@ def theta_contains_join(
     return facts.join(
         F.broadcast(tokens), F.instr(F.col(text_col), F.col(token_col)) > 0, "inner"
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest as-of LEFT join: for each left row, the payload of the
+    right row whose timestamp is CLOSEST to ``left_ts`` in either
+    direction (ties → the prior row, pandas ``merge_asof
+    direction='nearest'`` convention).  Completes the as-of family:
+    backward / forward / tolerance / last-N / nearest, all on one
+    physical idiom.
+
+    Plan: the same one-shuffle union-merge as
+    :func:`asof_backward_join`, but BOTH directions are carried in the
+    same sorted pass — a running ``last(ignorenulls)`` over
+    (unboundedPreceding, currentRow) for the latest prior row and a
+    ``first(ignorenulls)`` over (currentRow, unboundedFollowing) for the
+    earliest later row.  Both frames share one partition+order, so the
+    plan has ONE exchange and ONE sort, zero join operators
+    (plan-asserted).  The matched timestamp travels inside each packed
+    payload struct, so choosing the closer side is a constant-time
+    projection.
+
+    Equal-``left_ts`` right rows sort before left rows and are matched
+    by the backward carry at distance 0 — the forward frame starting at
+    currentRow never sees them, which is exactly right: distance 0
+    always wins as "prior"."""
+    left_cols = list(left.columns)
+    mt = "__mt"  # matched right ts (epoch micros), packed in the payload
+    rhs = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            *[F.col(c) for c in payload_cols],
+            F.unix_micros(F.col(right_ts).cast("timestamp")).alias(mt),
+        ).alias("__p"),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
+            for c in left_cols
+        ],
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("__tb"),
+    )
+    lhs = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(rhs.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+        F.lit(None).cast(rhs.schema["__tb"].dataType).alias("__tb"),
+    )
+    merged = rhs.unionByName(lhs)
+    back = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag", "__tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        "*",
+        F.last("__p", ignorenulls=True).over(back).alias("__pb"),
+        F.first("__p", ignorenulls=True).over(fwd).alias("__pf"),
+    ).where(F.col("__tag") == 1)
+    lt_us = F.unix_micros(F.col("__t").cast("timestamp"))
+    d_back = lt_us - F.col("__pb").getField(mt)
+    d_fwd = F.col("__pf").getField(mt) - lt_us
+    use_back = F.col("__pb").isNotNull() & (
+        F.col("__pf").isNull() | (d_back <= d_fwd)
+    )
+    chosen = F.when(use_back, F.col("__pb")).otherwise(F.col("__pf"))
+    direction = F.when(
+        F.col("__pb").isNull() & F.col("__pf").isNull(), F.lit(None).cast("string")
+    ).when(use_back, F.lit("backward")).otherwise(F.lit("forward"))
+    return carried.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[chosen.getField(c).alias(c) for c in payload_cols],
+        direction.alias("asof_dir"),
+    )

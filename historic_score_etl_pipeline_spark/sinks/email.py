@@ -76,8 +76,8 @@ class SmtpTransport:
 class FileSpoolTransport:
     """Spool messages as RFC 5322 ``.eml`` files — the egress-free twin.
     File name is a zero-padded sequence number, so spool order is replay
-    order and a re-run of the same report overwrites (idempotent like
-    the batch-id parquet writer)."""
+    order; every send appends the next sequence file (an MTA drains the
+    directory in order)."""
 
     spool_dir: str
 

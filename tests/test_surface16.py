@@ -100,3 +100,65 @@ def test_sample_temperature_upsamples_tail(spark, sf_oracle):
     tail = min(n_by_lang, key=n_by_lang.get)
     if n_by_lang[head] > n_by_lang[tail]:
         assert got[tail] / n_by_lang[tail] > got[head] / n_by_lang[head]
+
+
+def test_asof_nearest_single_exchange_no_join(spark, sf_oracle):
+    """Both direction carries must share one shuffle and one sort —
+    zero join operators, one Exchange (plus AQE wrappers), and the two
+    frames evaluated inside Window exec(s) over the same partitioning."""
+    from historic_score_etl_pipeline_spark.contract.surface16 import (
+        join_asof_nearest,
+    )
+
+    plan = (
+        join_asof_nearest(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    import re
+
+    # exactly one exchange moving data by key (hashpartitioning)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+
+
+def test_asof_nearest_semantics_hand_built(spark):
+    """Tie → prior; no-prior → forward; no rows → NULL; equal-ts right
+    row counts as backward at distance zero."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        asof_nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 5.0), (3, "lonely", 50.0)],
+        "lid long, key string, lts double",
+    ).select(
+        "lid", "key", F.timestamp_seconds("lts").alias("lts")
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 90.0), (11, "k", 110.0), (12, "k", 100.0), (13, "k", 2.0)],
+        "rid long, key string, rts double",
+    ).select(
+        "rid", "key", F.timestamp_seconds("rts").alias("rts")
+    )
+    out = {
+        r["lid"]: (r["rid"], r["asof_dir"])
+        for r in asof_nearest_join(
+            left, right, "key", "lts", "rts", ["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    # lid=1 at t=100: rid=12 sits exactly at 100 → backward, distance 0
+    assert out[1] == (12, "backward")
+    # lid=2 at t=5: prior rid=13 at 2 (d=3) vs forward rid=10 at 90 → backward
+    assert out[2] == (13, "backward")
+    # lid=3: no right rows for key → NULL payload and direction
+    assert out[3] == (None, None)
+
+    # pure-forward case: left before every right row
+    early = spark.createDataFrame(
+        [(9, "k", 1.0)], "lid long, key string, lts double"
+    ).select("lid", "key", F.timestamp_seconds("lts").alias("lts"))
+    got = asof_nearest_join(
+        early, right, "key", "lts", "rts", ["rid"], right_tiebreak="rid"
+    ).collect()[0]
+    assert got["rid"] == 13 and got["asof_dir"] == "forward"
