@@ -53,6 +53,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface14,
         surface15,
         surface16,
+        surface17,
         windows,
     )
 
@@ -79,6 +80,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface14,
         surface15,
         surface16,
+        surface17,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -103,6 +105,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # whole class is externally confirmed dead in one round (the other
     # eight already sit inside the head-50 by insertion order)
     "safe_math", "udf_arrow_native",
+    # batch-23 curation staples (new this round) — pinned so each gets an
+    # external row in its first round of existence
+    "text_bigram_surprisal", "text_chunk_windows", "dedup_substring_span",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

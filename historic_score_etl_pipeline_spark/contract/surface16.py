@@ -73,20 +73,26 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K, not a full sort of the corpus when the engine applies the
     window-limit optimization)."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    weights = counts.select(
-        "lang", "n_docs", F.pow(F.col("n_docs").cast("double"), _ALPHA).alias("w")
-    )
-    total = weights.agg(F.sum("w").alias("w_sum"))
-    quota = (
-        weights.crossJoin(F.broadcast(total))
+    # Per-language weights are a |langs|-row aggregate — driver-small by
+    # construction (same class as the k-means centroid collect).  Folding
+    # the w_sum scalar on the driver keeps the distributed plan free of
+    # the BroadcastNestedLoopJoin + SinglePartition stage a 1-row
+    # crossJoin would plan (fleet red-flag budget, tests/test_scale_plans).
+    weight_rows = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(
-            "lang",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(float(_N_TARGET)) * F.col("w") / F.col("w_sum") + 0.5),
-            ).cast("long").alias("quota"),
+            "lang", F.pow(F.col("n_docs").cast("double"), _ALPHA).alias("w")
         )
+        .collect()
+    )
+    w_sum = sum(r["w"] for r in weight_rows)
+    quota = spark.createDataFrame(
+        [
+            (r["lang"], max(1, int(float(_N_TARGET) * r["w"] / w_sum + 0.5)))
+            for r in weight_rows
+        ],
+        "lang string, quota long",
     )
     from pyspark.sql import Window
 

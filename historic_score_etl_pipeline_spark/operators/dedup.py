@@ -356,3 +356,63 @@ def keep_first_per_key(df: DataFrame, key_cols: list[str], order_col: str) -> Da
     min() over every column): rank within fingerprint, keep rn=1."""
     w = Window.partitionBy(*key_cols).orderBy(order_col)
     return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Doc pairs sharing at least one VERBATIM n-token gram, with the
+    earliest shared-span start positions — the fixed-gram-length Spark
+    restatement of exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; the
+    suffix-array pass becomes a gram-bucket equi-join).
+
+    Semantics: per document each distinct gram keeps its earliest start
+    (0-based token offset); grams occurring in more than ``max_df``
+    documents are dropped BEFORE pairing — the boilerplate guard that is
+    also the skew guard (a stop-phrase gram in 10⁶ docs would otherwise
+    fan out 10¹² pairs).  Output per unordered pair (doc_a < doc_b):
+    ``n_shared_grams`` and the min start offset on each side.
+
+    Scale shape: explode → per-doc gram dedup (one shuffle keyed on
+    (doc, gram)) → frequency filter and the pair join BOTH keyed on the
+    gram, so Catalyst reuses one hash partitioning; per-gram fan-out is
+    capped at max_df² pairs.  Never an all-pairs doc join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= n)
+    grams = toks.select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0), F.size("t") - n)).alias("_i", "start"),
+        "t",
+    ).select(
+        id_col,
+        F.col("start").cast("long").alias("start"),
+        F.array_join(F.slice("t", F.col("start") + 1, F.lit(n)), " ").alias("gram"),
+    )
+    occ = grams.groupBy(id_col, "gram").agg(F.min("start").alias("start"))
+    freq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    occf = occ.join(
+        freq.where((F.col("gram_df") >= 2) & (F.col("gram_df") <= max_df)),
+        "gram",
+    ).select(id_col, "gram", "start")
+    a, b = occf.alias("a"), occf.alias("b")
+    return (
+        a.join(b, "gram")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_grams"),
+            F.min("a.start").alias("first_start_a"),
+            F.min("b.start").alias("first_start_b"),
+        )
+    )

@@ -154,3 +154,109 @@ def repetition_stats(df, id_col: str, text_col: str):
             ),
         )
     )
+
+
+def bigram_surprisal(df, id_col: str, text_col: str):
+    """Corpus-trained bigram-LM cross-entropy per document — the
+    CCNet-style "perplexity against a reference LM" quality signal
+    (Wenzek et al. 2020), with the corpus itself as the training set so
+    the score is self-contained and deterministic.
+
+    Model: add-one-smoothed bigram probabilities
+    ``p(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V)`` with ``V`` the
+    unigram vocabulary size.  Per document the operator emits
+    ``n_bigrams`` and ``surprisal_unats`` = Σ round(-ln(p) · 1e6) — a
+    fixed-point integer in micro-nats.  Integer addition is associative,
+    so the per-doc sum is EXACT under any partitioning/summation order —
+    a float sum would drift with shuffle order and break cross-engine
+    hashing.  Callers derive cross-entropy as ``surprisal_unats / 1e6 /
+    n_bigrams``.
+
+    Scale shape (100 TB): token explode → bigram-count aggregate (one
+    shuffle, keyed on the bigram — uniformly distributed); the count
+    tables are vocabulary-bounded, orders of magnitude smaller than the
+    corpus; the score join shuffles on (w1, w2) with AQE handling any
+    hot bigram; the prefix-count and vocab-size sides are broadcast.
+    No Python UDFs anywhere — ln/floor are JVM intrinsics.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    )
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # vocabulary size: a scalar — computed once; at scale keep as a
+    # broadcast 1-row DF instead of a driver value
+    vsize = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    surp = F.floor(
+        -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vsize))))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .withColumn("surp", surp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("surp").cast("long").alias("surprisal_unats"),
+        )
+    )
+
+
+def chunk_windows(df, id_col: str, text_col: str, size: int = 32, stride: int = 24):
+    """Overlapping fixed-size token chunks per document — the RAG /
+    context-window packing primitive (chunk k covers tokens
+    [k·stride, k·stride + size)).
+
+    One projection + one explode, zero shuffles, zero UDFs: chunk starts
+    are a ``sequence(0, n_tok-1, stride)``, the chunk body a
+    ``slice``.  Every document with ≥1 token emits ≥1 chunk; the final
+    chunk may be short (never empty).  Output is exact-string /
+    integer-only, so the oracle hash has no float surface.
+    """
+    from pyspark.sql import functions as F
+
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    ).where(F.size("t") > 0)
+    e = toks.select(
+        id_col,
+        "t",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("t", F.col("start") + 1, F.lit(size))
+    return e.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
