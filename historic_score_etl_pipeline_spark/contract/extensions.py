@@ -503,11 +503,12 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk framing, scanline filtering or deflate round-trip fails the
     external hash."""
     from historic_score_etl_pipeline_spark.operators.multimodal import (
-        png_roundtrip_features,
+        png_roundtrip_from_docs,
     )
 
-    media = documents_as_image_media(load_table(spark, sf_dir, "documents"))
-    return png_roundtrip_features(media).select(
+    # Fused single-Python-stage path; ≡ png_roundtrip_features(
+    # documents_as_image_media(docs)) — equality pytest-asserted.
+    return png_roundtrip_from_docs(load_table(spark, sf_dir, "documents")).select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),

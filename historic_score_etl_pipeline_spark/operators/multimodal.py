@@ -539,3 +539,44 @@ def png_roundtrip_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, PNG_ROUNDTRIP_SCHEMA)
+
+
+def png_roundtrip_from_docs(docs: DataFrame) -> DataFrame:
+    """Fused render→PNG-roundtrip over documents: one mapInPandas doing
+    BMP render, BMP decode, PNG encode/decode and pixel-equality — the
+    same semantics as ``png_roundtrip_features(documents_as_image_media(
+    docs))`` (equality pytest-asserted) but with ONE Python stage instead
+    of two, so each task crosses JVM↔Python once and the image payload
+    never rides Arrow between two Python nodes.  Under the bench's
+    many-small-splits layout this halves per-task overhead — the
+    dominant cost, since the codec work itself is ~µs per image."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from historic_score_etl_pipeline_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in it:
+            widths, heights, oks = [], [], []
+            for t in pdf["text"]:
+                img = decode_image(render_text_bmp(t or ""))
+                back = decode_png(encode_png(img, level=1))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                oks.append(
+                    back.shape == img.shape and bool(np.array_equal(back, img))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "n_pixels": [w * h for w, h in zip(widths, heights)],
+                    "png_ok": oks,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, PNG_ROUNDTRIP_SCHEMA
+    )

@@ -138,3 +138,33 @@ def test_resize_images_real(spark):
     solid = encode_bmp(np.full((9, 7, 3), 200, dtype=np.uint8))
     resized = decode_bmp(resize_image(solid, 4, 5))
     assert (resized == 200).all() and resized.shape == (5, 4, 3)
+
+
+def test_png_roundtrip_fused_equals_composed(spark, sf_oracle):
+    """The fused single-Python-stage path must be row-identical to the
+    two-stage composition, and its plan must carry exactly ONE
+    MapInPandas node (the whole point of the fusion)."""
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        documents_as_image_media,
+        png_roundtrip_features,
+        png_roundtrip_from_docs,
+    )
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    fused = png_roundtrip_from_docs(docs)
+    composed = png_roundtrip_features(documents_as_image_media(docs))
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, composed.collect()))
+    assert a == b and a
+
+    plan = fused._jdf.queryExecution().explainString(
+        fused._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    # formatted mode prints each node twice (tree line + detail header);
+    # count the detail headers
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
