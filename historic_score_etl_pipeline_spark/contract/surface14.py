@@ -318,28 +318,52 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pair table, which is the exact thing the staged plan
     avoids."""
     from historic_score_etl_pipeline_spark.operators.dedup import (
+        band_buckets_from_hashes,
         jaccard,
-        lsh_candidate_pairs,
         shingle_hashes,
         token_hashes,
     )
     from historic_score_etl_pipeline_spark.operators.graph import (
         connected_components,
     )
+    from historic_score_etl_pipeline_spark.operators.scale import (
+        ensure_parallelism,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
-    sh = docs.select(
-        F.col("doc_id"),
+    # ONE corpus scan + ONE shingle-hash pass, materialized — the
+    # "persisted signature index" of an industrial dedup deployment.
+    # Banding, Jaccard verification and survivorship all derive from this
+    # checkpoint instead of re-scanning/re-hashing the corpus 3×.
+    base = ensure_parallelism(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
         shingle_hashes(token_hashes(F.col("text"))).alias("sh"),
+    ).localCheckpoint()
+    banded = band_buckets_from_hashes(
+        base.select("doc_id", "sh"), "doc_id", "sh"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
     )
     verified = (
         pairs.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
         .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
@@ -350,7 +374,7 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = clusters.where(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )
-    survivors = docs.join(victims, "doc_id", "left_anti")
+    survivors = base.select("doc_id", "lang").join(victims, "doc_id", "left_anti")
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 

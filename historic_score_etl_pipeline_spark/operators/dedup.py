@@ -186,20 +186,34 @@ def band_buckets(
     bucket."""
     from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
 
-    rows_per_band = num_hashes // bands
     # CPU-heavy per-row work: make sure it spreads across cores even when
     # the source is one small parquet file (at 100 TB the scan itself
     # yields enough splits and this repartition collapses to a no-op check)
     df = ensure_parallelism(df, id_col)
-    # three staged projections (token hash → shingle combine → affine
-    # mins): each stage references the previous as a materialized column,
-    # so nothing is inlined/recomputed per element
-    return df.select(
+    # two staged projections (token hash → shingle combine): each stage
+    # references the previous as a materialized column, so nothing is
+    # inlined/recomputed per element
+    sh = df.select(
         F.col(id_col), token_hashes(text_col).alias("th")
-    ).select(
-        F.col(id_col), shingle_hashes(F.col("th")).alias("mh_base")
-    ).select(
-        F.col(id_col), minhash_mins(F.col("mh_base"), num_hashes).alias("sig")
+    ).select(F.col(id_col), shingle_hashes(F.col("th")).alias("mh_base"))
+    return band_buckets_from_hashes(sh, id_col, "mh_base", num_hashes, bands)
+
+
+def band_buckets_from_hashes(
+    sh: DataFrame,
+    id_col: str,
+    hash_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band buckets from a PRECOMPUTED shingle-hash array column — the
+    entry point when the shingle pass is shared with a verify stage
+    (dedup_pipeline_e2e persists one signature-base and derives banding,
+    Jaccard verification and survivorship from it: one corpus scan, one
+    hash pass)."""
+    rows_per_band = num_hashes // bands
+    return sh.select(
+        F.col(id_col), minhash_mins(F.col(hash_col), num_hashes).alias("sig")
     ).select(
         id_col,
         F.posexplode(

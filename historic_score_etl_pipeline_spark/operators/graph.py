@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def connected_components(
@@ -33,12 +34,23 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    driver_max_edges: int = 1 << 20,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough; both
     directions are derived internally).  Node ids must be orderable
     (the min id in each component becomes its canonical label).
+
+    Hybrid execution, same contract as a broadcast-join threshold: once
+    the deduplicated edge list is materialized and counted, a graph with
+    ≤ ``driver_max_edges`` edges (default 2²⁰ ≈ 16 MB of id pairs) is
+    solved EXACTLY with driver-side union-find — dedup edge lists are
+    usually ≪ the corpus that produced them, and one in-memory pass
+    beats 2·diameter distributed rounds each costing a fixed
+    planning/scheduling latency.  Larger graphs run distributed
+    min-label propagation, one shuffle per round.  Both paths are
+    equivalence-tested (tests/test_graph_scd2_compaction.py).
     """
     # Symmetrize once; self-loops drop out naturally (they never lower a label).
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -51,6 +63,21 @@ def connected_components(
     # per action.  localCheckpoint materializes it once and truncates the
     # lineage — the single biggest win in the iterative loop.
     sym = sym.localCheckpoint()
+    n_edges = sym.count()
+
+    if n_edges <= driver_max_edges:
+        return _driver_union_find(sym)
+
+    # Right-size the loop: the frontier is |V| rows and the edge list |E|
+    # rows — often orders of magnitude smaller than the corpus that
+    # produced them (LSH candidates ≪ docs).  Iterating over the
+    # corpus-sized partition count would pay ~parallelism empty-task
+    # launches per round; coalesce (narrow, no shuffle — the data is
+    # already checkpointed) to ~1M edges per partition, floor 1.  At real
+    # scale (billions of edges) this keeps full parallelism.
+    target = max(1, min(sym.rdd.getNumPartitions(), -(-n_edges // 1_000_000)))
+    if target < sym.rdd.getNumPartitions():
+        sym = sym.coalesce(target)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -75,10 +102,58 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("changed"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the convergence count below is the action
+            # that materializes it, so each round runs ONE job (an eager
+            # checkpoint would run the round's DAG once to persist and the
+            # count would be a second job — 2× the per-round fixed cost)
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
             break
     return labels
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact union-find over a driver-small symmetrized edge list.
+
+    Path-halving + union-by-attachment-to-min: after the single pass,
+    every node's root is relabeled to the minimum node id of its
+    component — identical semantics to the distributed min-label
+    fixpoint.  Input must already be materialized (checkpointed) and
+    counted ≤ the caller's threshold; only (a, b) id pairs ride the
+    collect, never payloads.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = sym.select("a", "b").collect()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller → the min id is
+            # always a root, so the final relabel is a single find()
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(n, find(n)) for n in parent]
+
+    spark = sym.sparkSession
+    node_type = sym.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", node_type), StructField("comp", node_type)]
+    )
+    return spark.createDataFrame(labels, schema)

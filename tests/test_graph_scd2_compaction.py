@@ -41,6 +41,31 @@ def test_cc_self_loop_and_duplicate_edges(spark):
     assert got[7] == 7 and got[1] == 1 and got[2] == 1
 
 
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The driver union-find fast path (edge count ≤ threshold) and the
+    distributed min-label loop (forced via driver_max_edges=0) must
+    return identical labelings on a graph mixing chains, cliques,
+    singleton-adjacent self-loops and duplicate edges."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edge_list = [(7, 7)]
+    # random chains and cliques
+    for _ in range(120):
+        a, b = rng.choice(nodes), rng.choice(nodes)
+        edge_list.append((a, b))
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    fast = {
+        r.node: r.comp for r in connected_components(edges).collect()
+    }
+    dist = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == dist and fast
+
+
 # --- SCD2 ---------------------------------------------------------------------
 
 
