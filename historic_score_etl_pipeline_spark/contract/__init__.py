@@ -108,6 +108,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-23 curation staples (new this round) — pinned so each gets an
     # external row in its first round of existence
     "text_bigram_surprisal", "text_chunk_windows", "dedup_substring_span",
+    "dedup_semantic",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

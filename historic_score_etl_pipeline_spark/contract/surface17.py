@@ -134,6 +134,23 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over the embeddings table (operators/similarity.py::
+    semantic_dedup): k-means clusters, then within-cluster cosine
+    pruning with the keep-lowest-id convention.  rows-only: the k-means
+    step is an iterative float fixpoint (no SQL twin); the survivor-set
+    invariants are pytest-asserted instead
+    (tests/test_surface17.py::test_semantic_dedup_invariants)."""
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=16, iters=2, threshold=0.35
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_bigram_surprisal": QuerySpec(
         text_bigram_surprisal, TEXT_BIGRAM_SURPRISAL_SQL
@@ -142,4 +159,5 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_substring_span": QuerySpec(
         dedup_substring_span, DEDUP_SUBSTRING_SPAN_SQL
     ),
+    "dedup_semantic": QuerySpec(dedup_semantic, None),
 }

@@ -360,3 +360,69 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(scale, 6).alias("q_scale_r6"),
         q.alias("q_codes"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 32,
+    iters: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — the cross-cluster pair
+    space is never touched, which is the entire scale story
+    (O(Σ|cluster|²) ≪ O(n²) when k is sized so clusters stay small;
+    at 100 TB pick k ≈ n/10⁴ so the per-cluster quadratic stays bounded,
+    and the within-cluster join below is an equi-join on cluster id —
+    one shuffle).
+
+    Greedy keep-lowest-id convention (matches the paper's "keep one
+    random point per ε-ball" with id-order as the deterministic stand-in):
+    a document is flagged ``is_dup`` when some LOWER-id doc in the same
+    cluster has cosine ≥ threshold.  Survivor pairs therefore satisfy
+    cos < threshold within every cluster (pytest-asserted).
+
+    Returns (id, cluster, is_dup, dup_of) — ``dup_of`` the smallest
+    witness id (null for survivors).
+    """
+    centroids, assigned = kmeans_lite(corpus, id_col, vec_col, k=k, iters=iters)
+    feats = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    )
+    clustered = assigned.join(feats, id_col).select(
+        F.col(id_col), "cluster", "__v"
+    )
+    a = clustered.select(
+        F.col(id_col).alias("__id_a"),
+        F.col("cluster").alias("__cl_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = clustered.select(
+        F.col(id_col).alias("__id_b"),
+        F.col("cluster").alias("__cl_b"),
+        F.col("__v").alias("__vb"),
+    )
+    witnesses = (
+        a.join(
+            b,
+            (F.col("__cl_a") == F.col("__cl_b"))
+            & (F.col("__id_a") < F.col("__id_b")),
+        )
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4) >= threshold
+        )
+        .groupBy(F.col("__id_b").alias(id_col))
+        .agg(F.min("__id_a").alias("dup_of"))
+    )
+    return (
+        clustered.join(witnesses, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

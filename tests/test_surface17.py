@@ -160,3 +160,54 @@ def test_sample_temperature_plan_has_no_bnlj(spark, sf_oracle):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_semantic_dedup_invariants(spark, sf_oracle):
+    """SemDedup semantics: every flagged doc has a lower-id same-cluster
+    witness with cosine >= threshold (verified by numpy recompute), every
+    surviving pair within a cluster sits below the threshold, and dup_of
+    is the smallest such witness."""
+    import numpy as np
+
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    threshold = 0.35  # fixture embeddings max pairwise cosine is ~0.51
+    emb = load_table(spark, sf_oracle, "embeddings")
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", k=16, iters=2, threshold=threshold
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert len(out) == len(vecs)
+
+    def cos4(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4
+        )
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    n_dups = 0
+    for members in by_cluster.values():
+        ids = sorted(m["vec_id"] for m in members)
+        for m in members:
+            if m["is_dup"]:
+                n_dups += 1
+                witnesses = [
+                    a for a in ids
+                    if a < m["vec_id"] and cos4(a, m["vec_id"]) >= threshold
+                ]
+                assert witnesses and m["dup_of"] == min(witnesses)
+            else:
+                assert m["dup_of"] is None
+        survivors = [m["vec_id"] for m in members if not m["is_dup"]]
+        for i, a in enumerate(survivors):
+            for b in survivors[i + 1 :]:
+                assert cos4(min(a, b), max(a, b)) < threshold
+    assert n_dups > 0, "fixture embeddings should contain semantic dups"
