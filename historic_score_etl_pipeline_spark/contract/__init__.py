@@ -54,6 +54,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface15,
         surface16,
         surface17,
+        surface18,
         windows,
     )
 
@@ -81,6 +82,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface15,
         surface16,
         surface17,
+        surface18,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -109,6 +111,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # external row in its first round of existence
     "text_bigram_surprisal", "text_chunk_windows", "dedup_substring_span",
     "dedup_semantic",
+    # batch-24 curation staples (new this round) — pinned so each gets an
+    # external row in its first round of existence
+    "dedup_decontaminate_13gram", "sample_mixture_budget",
+    "sample_reservoir_hash", "text_token_entropy",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

@@ -430,3 +430,68 @@ def substring_span_pairs(
             F.min("b.start").alias("first_start_b"),
         )
     )
+
+
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram) rows — DISTINCT sliding n-token grams per document,
+    split on single spaces (empties dropped).  Linear in tokens."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= n)
+    return (
+        toks.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.array_join(F.slice("t", i + 1, F.lit(n)), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Sliding n-token-gram eval-set decontamination — the GPT-3-style
+    benchmark filter (Brown et al. 2020, appendix C): a training document
+    is contaminated when ANY of its n-grams appears verbatim anywhere in
+    the held-out eval split.  Complements chunk-hash contamination
+    (stride-16 windows, contract/surface14.py) with the stride-1
+    standard used for published decontamination numbers.
+
+    Output: one row per contaminated training doc —
+    ``(train_id, n_hit_grams, first_hit_gram)`` where ``n_hit_grams``
+    counts the doc's DISTINCT grams that exist in the eval gram set and
+    ``first_hit_gram`` is the lexicographically smallest such gram (a
+    deterministic witness for auditing).
+
+    Scale shape: both sides reduce to DISTINCT (doc, gram) /(gram) sets
+    before the equi-join on ``gram`` — never a doc×doc comparison.  The
+    eval gram set is tiny relative to the corpus (benchmarks are MBs,
+    corpora TBs), so Catalyst broadcast-joins it; per-gram fan-out is
+    bounded by eval DISTINCT which needs no skew guard.  At 100 TB the
+    train-side gram explosion is map-side only (one shuffle for the
+    per-doc distinct, reused by the aggregation).
+    """
+    train_grams = _doc_grams(train, id_col, text_col, n)
+    eval_grams = (
+        _doc_grams(eval_df, id_col, text_col, n).select("gram").distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(F.col(id_col).alias("train_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_grams"),
+            F.min("gram").alias("first_hit_gram"),
+        )
+    )

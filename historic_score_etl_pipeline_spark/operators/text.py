@@ -260,3 +260,57 @@ def chunk_windows(df, id_col: str, text_col: str, size: int = 32, stride: int = 
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def token_entropy(df, id_col: str, text_col: str):
+    """Shannon entropy of each document's within-doc token distribution —
+    the gibberish/degenerate-repetition quality signal that complements
+    corpus-level surprisal (``bigram_surprisal``): low entropy flags
+    looping/boilerplate text, abnormally high entropy flags random-token
+    noise (a standard pretraining-corpus filter alongside the Gopher
+    repetition rules, Rae et al. 2021 §A1.1).
+
+    Per doc with token counts ``c(tok)`` and total ``N``:
+    ``entropy_unats = Σ_tok round((c/N) · ln(N/c) · 1e6)`` — every float
+    term is fixed-pointed to integer micro-nats BEFORE the sum, so the
+    result is exact under any partitioning/summation order (the same
+    determinism contract as ``bigram_surprisal``).  Also emits ``n_tokens``
+    and ``n_types``; callers derive normalized entropy as
+    ``entropy_unats / 1e6 / ln(n_types)``.
+
+    Scale shape (100 TB): explode → (doc, tok) count with map-side
+    partial aggregation, so the first shuffle carries the REDUCED
+    (doc, tok, count) rows, not raw tokens; the second shuffle (doc key,
+    for the window total + final sum) carries the same reduced table —
+    both are vocabulary-bounded per doc, far below the exploded volume.
+    No join anywhere; ln/floor are JVM intrinsics — no Python.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    ).where(F.size("t") > 0)
+    counts = (
+        toks.select(id_col, F.explode("t").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    term = F.floor(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        counts.withColumn("n", n)
+        .withColumn("term", term)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("term").cast("long").alias("entropy_unats"),
+        )
+    )
