@@ -55,6 +55,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface16,
         surface17,
         surface18,
+        surface19,
         windows,
     )
 
@@ -83,6 +84,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface16,
         surface17,
         surface18,
+        surface19,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -115,6 +117,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # external row in its first round of existence
     "dedup_decontaminate_13gram", "sample_mixture_budget",
     "sample_reservoir_hash", "text_token_entropy",
+    # batch-25 (new this round) — large×large interval join, exact anomaly
+    # flags, binaryFile ingest
+    "join_interval_overlap", "anomaly_zscore_rolling", "scan_binaryfile",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

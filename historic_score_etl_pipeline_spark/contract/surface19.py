@@ -1,0 +1,188 @@
+"""Round-3 batch 25 — large×large interval analytics and binary ingest:
+the bin-bucketed interval-overlap join (the scale path past the
+broadcast range join), exact-integer rolling z-score anomaly flags, and
+the ``binaryFile`` source (Spark's native opaque-blob ingest — the
+multimodal landing path when payloads arrive as files, not columns).
+
+Determinism rules: interval endpoints and overlap lengths are integer
+microseconds; z-score decisions are the float inequality multiplied
+through by n² so only BIGINT products are compared (no mean/stddev
+floats); monetary values enter as half-up integer cents.  Every
+aggregate is CAST to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+# --- interval overlap join (both sides large) ----------------------------------
+
+# interval = [ts, ts + cents·600ms]: value 0.01..490 → spans 6ms..~8.2h,
+# so the 1-hour bin replicates a typical interval into ~1-2 bins.
+_DUR_US_PER_CENT = 600_000
+_BIN_US = 3_600_000_000  # 1 hour
+
+
+def _intervals(ev: DataFrame, etype: str, id_alias: str) -> DataFrame:
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    s = F.unix_micros("ts")
+    return ev.where(F.col("event_type") == etype).select(
+        F.col("event_id").alias(id_alias),
+        "user_id",
+        s.alias("s"),
+        (s + cents * F.lit(_DUR_US_PER_CENT)).alias("e"),
+    )
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-intervals × view-intervals overlap per user (operators/
+    joins.py::interval_overlap_join): both sides replicate into 1-hour
+    bins and meet in a plain equi-join on (user_id, bin) — the
+    large×large answer to ``join_range_interval``'s broadcast plan.
+    Each pair is emitted from exactly one bin (the overlap-start bin),
+    so there is no dedup pass.  Oracle is the naive theta join."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = _intervals(ev, "click", "id_a")
+    b = _intervals(ev, "view", "id_b")
+    return interval_overlap_join(
+        a, b, "user_id", "s", "e", bin_width=_BIN_US
+    )
+
+
+JOIN_INTERVAL_OVERLAP_SQL = f"""
+WITH iv AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) AS s,
+         epoch_us(ts)
+           + CAST(floor(value * 100 + 0.5) AS BIGINT) * {_DUR_US_PER_CENT}
+           AS e
+  FROM events
+),
+a AS (SELECT event_id AS id_a, user_id, s, e FROM iv WHERE event_type = 'click'),
+b AS (SELECT event_id AS id_b, user_id, s, e FROM iv WHERE event_type = 'view')
+SELECT a.id_a, b.id_b, a.user_id,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+# --- exact rolling z-score anomaly flags ----------------------------------------
+
+_Z_LOOKBACK = 8
+_Z_MIN_N = 4
+_Z_K = 2
+
+
+def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score outlier flags over the previous 8 event
+    values (operators/windows.py::rolling_zscore_flags): the |x−μ| > 2σ
+    test evaluated as (n·x−S)² > 4·(n·SS−S²) in BIGINT cents — bit-exact
+    across engines, partitionings, and retries.  One shuffle on user_id,
+    one Window exec for count/sum/sumsq."""
+    from historic_score_etl_pipeline_spark.operators.windows import (
+        rolling_zscore_flags,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        cents.alias("value_cents"),
+    )
+    out = rolling_zscore_flags(
+        base, "user_id", ["ts_us", "event_id"], "value_cents",
+        lookback=_Z_LOOKBACK, min_n=_Z_MIN_N, k=_Z_K,
+    )
+    return out.select(
+        "event_id", "user_id", "value_cents", "n_window", "is_anomaly"
+    )
+
+
+ANOMALY_ZSCORE_ROLLING_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, x,
+         count(x) OVER w AS n, sum(x) OVER w AS s, sum(x * x) OVER w AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, x AS value_cents,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_window,
+       CASE WHEN coalesce(n, 0) < {_Z_MIN_N} THEN FALSE
+            ELSE (n * x - s) * (n * x - s)
+                 > {_Z_K * _Z_K} * (n * ss - s * s) END AS is_anomaly
+FROM framed
+"""
+
+
+# --- binaryFile source ----------------------------------------------------------
+
+_N_BLOB_FILES = 16
+
+
+def _staged_blob_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the first N documents as BMP image FILES (idempotent
+    overwrite) — the landing shape when media arrives as objects in a
+    bucket rather than a binary column.  N is driver-small by
+    construction; at scale the stage step is a distributed writer and
+    only the directory listing touches the driver."""
+    import os
+    import tempfile
+
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        render_text_bmp,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"hsep_blob_stage_{tag}")
+    os.makedirs(out, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _N_BLOB_FILES)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        with open(os.path.join(out, f"doc_{r['doc_id']:04d}.bmp"), "wb") as f:
+            f.write(render_text_bmp(r["text"]))
+    return out
+
+
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``binaryFile`` source over a staged directory of
+    BMP blobs: one row per file with (name, length, md5(content)) — the
+    opaque-payload ingest path feeding the multimodal pillar.  rows-only:
+    DuckDB has no binary-file table function; content hashes are instead
+    pytest-asserted against a direct Python recompute
+    (tests/test_surface19.py)."""
+    path = _staged_blob_dir(spark, sf_dir)
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "join_interval_overlap": QuerySpec(
+        join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL
+    ),
+    "anomaly_zscore_rolling": QuerySpec(
+        anomaly_zscore_rolling, ANOMALY_ZSCORE_ROLLING_SQL
+    ),
+    "scan_binaryfile": QuerySpec(scan_binaryfile, None),
+}

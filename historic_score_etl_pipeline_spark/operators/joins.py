@@ -436,3 +436,80 @@ def asof_nearest_join(
         *[chosen.getField(c).alias(c) for c in payload_cols],
         direction.alias("asof_dir"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    start_col: str = "s",
+    end_col: str = "e",
+    bin_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval×interval overlap join where BOTH sides are large — the
+    scale path past ``join_range_interval`` (which broadcasts one side).
+
+    Endpoints are integer microseconds (``[start_col, end_col]`` closed
+    intervals, BIGINT).  Each interval replicates into its covered
+    fixed-width bins; the join is a plain EQUI-join on ``(key, bin)``
+    with the overlap predicate as a post-filter, so Catalyst plans a
+    shuffled hash/sort-merge join — never a BroadcastNestedLoopJoin and
+    never key-only fan-out (a hot key with n×m intervals only meets
+    within the same time bin).
+
+    A pair overlapping several shared bins would duplicate, so each pair
+    is emitted from exactly ONE bin — the bin containing the overlap's
+    start (``floor(max(s_a, s_b) / W)``), which both sides cover by
+    construction.  No ``distinct`` pass needed.
+
+    Replication factor is ``interval_span / bin_width + 1`` per row —
+    pick ``bin_width`` near the typical span.  Output: both ids, the
+    key, and the exact integer overlap length.
+
+    Left/right must each carry an ``id`` column named ``id_a`` / ``id_b``
+    respectively (pre-aliased by the caller).
+    """
+    # floor(x / W) evaluates in double: exact for |x| < 2^53 µs (~year
+    # 2255), and monotonic regardless, so the emit-bin always lies inside
+    # both sides' enumerated bin ranges.
+    w = F.lit(int(bin_width)).cast("long")
+
+    def binned(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / w),
+                    F.floor(F.col(end_col) / w),
+                )
+            ),
+        )
+
+    a = binned(left).select(
+        "id_a", F.col(key), F.col(start_col).alias("s_a"),
+        F.col(end_col).alias("e_a"), "bin",
+    )
+    b = binned(right).select(
+        "id_b", F.col(key).alias("__k"), F.col(start_col).alias("s_b"),
+        F.col(end_col).alias("e_b"), F.col("bin").alias("__bin"),
+    )
+    start_max = F.greatest(F.col("s_a"), F.col("s_b"))
+    return (
+        a.join(
+            b,
+            (F.col(key) == F.col("__k")) & (F.col("bin") == F.col("__bin")),
+        )
+        .where(
+            (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            & (F.floor(start_max / w) == F.col("bin"))  # one bin emits the pair
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col(key),
+            (
+                F.least(F.col("e_a"), F.col("e_b")) - start_max
+            ).cast("long").alias("overlap_us"),
+        )
+    )

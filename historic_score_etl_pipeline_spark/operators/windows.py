@@ -70,3 +70,52 @@ def running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return F.sum(c.cast(f"decimal(18,{scale})")).over(w).cast("double")
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_cents: Column | str,
+    lookback: int = 8,
+    min_n: int = 4,
+    k: int = 2,
+) -> DataFrame:
+    """Rolling z-score outlier flags with EXACT integer arithmetic — no
+    float mean/std anywhere, so the flags are identical on 1 or 1000
+    executors and across engines.
+
+    The value arrives as integer cents (``value_cents``, BIGINT).  Over
+    the previous ``lookback`` rows per key (current row EXCLUDED), with
+    n = count, S = Σx, SS = Σx²:
+
+        |x − μ| > k·σ   ⟺   (n·x − S)² > k²·(n·SS − S²)
+
+    — the float inequality multiplied through by n², leaving only BIGINT
+    products (bounded: |n·x−S| ≤ n·max_cents, safe for cents ≤ ~10⁹/n).
+    Rows with fewer than ``min_n`` prior values are never flagged.
+
+    Scale shape: one hash shuffle on the key, one window pass computing
+    count/sum/sumsq over the same frame (one Window exec); state per
+    partition is three running longs.
+    """
+    x = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    lhs = (n * x - s) * (n * x - s)
+    rhs = F.lit(int(k * k)) * (n * ss - s * s)
+    # one select, window expressions inline → ONE physical Window exec
+    # (a withColumn chain that re-reads n_window would plan a second one)
+    return df.select(
+        "*",
+        n.cast("long").alias("n_window"),
+        F.when(n < min_n, F.lit(False)).otherwise(lhs > rhs).alias(
+            "is_anomaly"
+        ),
+    )

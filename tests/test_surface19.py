@@ -1,0 +1,128 @@
+"""Batch-25 behavior: interval-overlap join against a brute-force Python
+recompute (including the emit-once/no-duplicates property), exact
+rolling z-score flags against a float recompute, and binaryFile content
+hashes against direct file reads (contract/surface19.py,
+operators/joins.py, operators/windows.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.contract import surface19
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+
+def _interval_rows(spark, sf_dir, etype):
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.where(F.col("event_type") == etype).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("s"), "value"
+    ).collect()
+    out = []
+    for r in rows:
+        cents = int(math.floor(r["value"] * 100 + 0.5))
+        out.append(
+            (r["event_id"], r["user_id"], r["s"],
+             r["s"] + cents * surface19._DUR_US_PER_CENT)
+        )
+    return out
+
+
+def test_interval_overlap_matches_bruteforce_and_is_duplicate_free(
+    spark, sf_oracle
+):
+    a = _interval_rows(spark, sf_oracle, "click")
+    b = _interval_rows(spark, sf_oracle, "view")
+    by_user: dict[int, list] = {}
+    for row in b:
+        by_user.setdefault(row[1], []).append(row)
+    expected = {}
+    for id_a, user, s_a, e_a in a:
+        for id_b, _u, s_b, e_b in by_user.get(user, []):
+            if s_a <= e_b and s_b <= e_a:
+                expected[(id_a, id_b)] = (
+                    user, min(e_a, e_b) - max(s_a, s_b)
+                )
+
+    got_rows = surface19.join_interval_overlap(spark, sf_oracle).collect()
+    # emit-once: no (id_a, id_b) appears twice even when a pair shares
+    # several bins
+    keys = [(r["id_a"], r["id_b"]) for r in got_rows]
+    assert len(keys) == len(set(keys))
+    got = {
+        (r["id_a"], r["id_b"]): (r["user_id"], r["overlap_us"])
+        for r in got_rows
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_interval_overlap_multi_bin_pair_still_single_row(spark):
+    """Two intervals overlapping across >1 shared bin must emit one row
+    with the exact overlap length."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    W = 100
+    a = spark.createDataFrame(
+        [(1, 10, 50, 350)], "id_a long, k long, s long, e long"
+    )
+    b = spark.createDataFrame(
+        [(2, 10, 120, 500), (3, 10, 400, 600), (4, 99, 0, 1000)],
+        "id_b long, k long, s long, e long",
+    )
+    rows = interval_overlap_join(a, b, "k", "s", "e", bin_width=W).collect()
+    got = {(r["id_a"], r["id_b"]): r["overlap_us"] for r in rows}
+    # (1,2): overlap [120,350] = 230 spanning bins 1-3; (1,3) disjoint;
+    # (1,4) different key
+    assert got == {(1, 2): 230}
+
+
+def test_zscore_flags_match_float_recompute(spark, sf_oracle):
+    """The integer inequality must agree with the direct float z-score on
+    every row (strict > on both sides; values where the two could differ
+    by FP rounding don't occur in cents-integer data)."""
+    out = surface19.anomaly_zscore_rolling(spark, sf_oracle).collect()
+    ev = load_table(spark, sf_oracle, "events")
+    rows = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        cents = int(math.floor(r["value"] * 100 + 0.5))
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_us"], r["event_id"], cents)
+        )
+    expected = {}
+    for user, lst in by_user.items():
+        lst.sort()
+        for i, (_ts, eid, x) in enumerate(lst):
+            window = [c for _t, _e, c in lst[max(0, i - surface19._Z_LOOKBACK):i]]
+            n = len(window)
+            if n < surface19._Z_MIN_N:
+                expected[eid] = (n, False)
+                continue
+            s, ss = sum(window), sum(c * c for c in window)
+            lhs = (n * x - s) ** 2
+            rhs = surface19._Z_K ** 2 * (n * ss - s * s)
+            expected[eid] = (n, lhs > rhs)
+    got = {r["event_id"]: (r["n_window"], r["is_anomaly"]) for r in out}
+    assert got == expected
+    assert any(flag for _n, flag in got.values())  # anomalies do fire
+
+
+def test_binaryfile_hashes_match_direct_reads(spark, sf_oracle):
+    out = {
+        r["file_name"]: (r["length"], r["content_md5"])
+        for r in surface19.scan_binaryfile(spark, sf_oracle).collect()
+    }
+    assert len(out) == surface19._N_BLOB_FILES
+    staged = surface19._staged_blob_dir(spark, sf_oracle)
+    for name, (length, md5) in out.items():
+        payload = open(os.path.join(staged, name), "rb").read()
+        assert length == len(payload)
+        assert md5 == hashlib.md5(payload).hexdigest()
