@@ -359,3 +359,55 @@ def test_asof_tolerance_is_single_window_no_join(spark, sf_oracle):
     plan = explain_str(join_asof_tolerance(spark, sf_oracle))
     assert plan.count("Window (") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_interval_overlap_is_equi_join_one_emit(spark, sf_oracle):
+    """The interval-overlap join must plan as a hash-keyed EQUI join on
+    (key, bin) — never a nested-loop/cartesian — with the overlap
+    predicate as a post-filter."""
+    from historic_score_etl_pipeline_spark.contract.surface19 import (
+        join_interval_overlap,
+    )
+
+    plan = explain_str(join_interval_overlap(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_zscore_is_single_window_single_shuffle(spark, sf_oracle):
+    """count/sum/sumsq over one frame = ONE Window exec after ONE hash
+    shuffle on the key."""
+    from historic_score_etl_pipeline_spark.contract.surface19 import (
+        anomaly_zscore_rolling,
+    )
+
+    plan = explain_str(anomaly_zscore_rolling(spark, sf_oracle))
+    assert plan.count("Window (") == 1, plan
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_oracle):
+    """The eval gram set (benchmark-sized, MBs against a TB corpus) must
+    broadcast; the train side never shuffles for the probe join."""
+    from historic_score_etl_pipeline_spark.contract.surface18 import (
+        dedup_decontaminate_13gram,
+    )
+
+    plan = explain_str(dedup_decontaminate_13gram(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_oracle):
+    """Hash-priority reservoir sampling must compile to the partial+final
+    WindowGroupLimit top-k pushdown — per-group state is k rows, never
+    the group."""
+    from historic_score_etl_pipeline_spark.contract.surface18 import (
+        sample_reservoir_hash,
+    )
+
+    plan = explain_str(sample_reservoir_hash(spark, sf_oracle))
+    assert "WindowGroupLimit" in plan, plan
