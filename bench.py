@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_pipeline_e2e",   # LSH → verify → components → survivors
     "text_repetition",      # explode → two-level agg repetition counts (r3)
     "multimodal_png_roundtrip",  # Arrow-batched real codec path (r3)
+    "text_token_entropy",   # explode → map-side-combined counts → window (r3)
+    "dedup_decontaminate_13gram",  # gram explosion + broadcast eval probe (r3)
+    "join_interval_overlap",  # bin-replicated large×large equi join (r3)
+    "anomaly_zscore_rolling",  # count/sum/sumsq one-Window frame (r3)
 ]
 
 
