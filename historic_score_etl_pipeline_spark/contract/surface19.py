@@ -177,9 +177,61 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- triangle counting over the co-order graph ----------------------------------
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the parts-co-ordered-together graph (operators/
+    graph.py::triangle_count): nodes are parts, an edge joins two parts
+    appearing in the same order.  Degree-ordered orientation counts each
+    triangle once with O(m^1.5) total work — the graph-analytics
+    complement to connected components.  The 1-row output crossJoins
+    three scalar aggregates (documented-allowed broadcast of single
+    rows).  Oracle is the naive id-ordered 3-way self-join."""
+    from historic_score_etl_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+    )
+    return triangle_count(edges, "u", "v")
+
+
+GRAPH_TRIANGLE_COUNT_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (
+  SELECT count(DISTINCT n) AS n_nodes
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+)
+SELECT CAST(nodes.n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM e ab JOIN e bc ON ab.v = bc.u
+                       JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+            AS BIGINT) AS n_triangles
+FROM nodes
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL
+    ),
+    "graph_triangle_count": QuerySpec(
+        graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL
     ),
     "anomaly_zscore_rolling": QuerySpec(
         anomaly_zscore_rolling, ANOMALY_ZSCORE_ROLLING_SQL

@@ -157,3 +157,76 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
         [StructField("node", node_type), StructField("comp", node_type)]
     )
     return spark.createDataFrame(labels, schema)
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Distributed triangle counting by DEGREE-ORDERED edge orientation —
+    the classic O(m^1.5)-work formulation (node-iterator++ / Cohen's
+    MapReduce scheme): orient every undirected edge from the endpoint of
+    lower (degree, id) to the higher, build wedges by joining oriented
+    edges head-to-tail, and close each wedge with one more equi-join.
+    Each triangle is counted EXACTLY once (its rank-ordered traversal),
+    and the wedge fan-out of a hub node is bounded by its
+    HIGHER-rank-neighbor count — on power-law graphs that is what turns
+    the naive deg² hub blow-up into m^1.5 total work.
+
+    Input: an edge DataFrame (any direction, duplicates and self-loops
+    tolerated — normalized away first).  Output: one row
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Scale shape: two equi-joins keyed on node pairs + one degree
+    aggregate; every stage is a plain hash shuffle, no broadcast of
+    anything graph-sized, no iteration, no driver state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    wedges = oriented.alias("o1").join(
+        oriented.select(
+            F.col("x").alias("y"), F.col("y").alias("z")
+        ).alias("o2"),
+        "y",
+    ).select("x", "y", "z")
+    closed = wedges.join(
+        oriented.select(F.col("x"), F.col("y").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_edges = e.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_nodes.select(F.col("n").cast("long").alias("n_nodes"))
+        .crossJoin(n_edges.select(F.col("n").cast("long").alias("n_edges")))
+        .crossJoin(
+            n_tri.select(F.col("n").cast("long").alias("n_triangles"))
+        )
+    )

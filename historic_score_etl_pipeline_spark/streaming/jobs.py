@@ -24,6 +24,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -478,3 +480,84 @@ def run_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+ZSCORE_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("n_window", LongType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+# state = the ring buffer of the user's most recent `lookback` cents
+# values, oldest first
+ZSCORE_STATE = StructType([StructField("recent", ArrayType(LongType()))])
+
+
+def stateful_zscore_stream(
+    events: DataFrame,
+    lookback: int = 8,
+    min_n: int = 4,
+    k: int = 2,
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.rolling_zscore_flags``: the
+    same EXACT-integer |x−μ| > kσ test — (n·x−S)² > k²·(n·SS−S²) in
+    BIGINT cents — evaluated online with ``applyInPandasWithState``.
+    State per user is the ring buffer of the last ``lookback`` cents
+    values (≤ 8 longs — constant, watermark-free), so the operator
+    runs forever without state growth; on a 1000-executor cluster each
+    task owns a key range of the state store.
+
+    Rows inside a micro-batch are sorted by (ts, event_id) before the
+    fold; across micro-batches the flags equal the batch operator's
+    whenever the source replays in event-time order (file sources and
+    Kafka-per-key both do) — asserted by the differential test
+    (tests/test_streaming.py::test_stream_zscore_matches_batch_operator).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        recent: list[int] = list(state.get[0]) if state.exists else []
+        out_ids, out_x, out_n, out_flag = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                x = int(math.floor(float(val) * 100 + 0.5))
+                n = len(recent)
+                if n < min_n:
+                    flag = False
+                else:
+                    s = sum(recent)
+                    ss = sum(c * c for c in recent)
+                    flag = (n * x - s) ** 2 > k * k * (n * ss - s * s)
+                out_ids.append(int(eid))
+                out_x.append(x)
+                out_n.append(n)
+                out_flag.append(flag)
+                recent.append(x)
+                if len(recent) > lookback:
+                    recent.pop(0)
+        state.update((recent,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [key[0]] * len(out_ids),
+                "value_cents": out_x,
+                "n_window": out_n,
+                "is_anomaly": out_flag,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        ZSCORE_OUTPUT,
+        ZSCORE_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

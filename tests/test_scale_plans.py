@@ -289,6 +289,7 @@ def test_plan_redflag_budget(spark, sf_oracle):
     ALLOWED = {
         "date_spine_gapfill": {"BNLJ", "SINGLE_PART"},
         "dedup_embed_cosine": {"BNLJ"},
+        "graph_triangle_count": {"BNLJ", "SINGLE_PART"},  # 3 scalar counts
         "join_bloom_prune": {"SINGLE_PART"},
         "join_fuzzy_levenshtein": {"BNLJ"},
         "join_range_interval": {"BNLJ"},

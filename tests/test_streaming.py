@@ -309,3 +309,45 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     assert replayed == baseline, (
         f"replay changed flagged output: {replayed ^ baseline}"
     )
+
+
+def test_stream_zscore_matches_batch_operator(spark, tmp_path):
+    """Differential: the stateful streaming z-score must produce exactly
+    the batch operator's flags when the source replays in event-time
+    order — split the events file in two, one file per trigger, so the
+    ring buffer must survive the micro-batch boundary."""
+    import pyarrow.parquet as pq
+
+    from historic_score_etl_pipeline_spark.contract.surface19 import (
+        anomaly_zscore_rolling,
+    )
+    from historic_score_etl_pipeline_spark.streaming.jobs import (
+        stateful_zscore_stream,
+    )
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    half = src.num_rows // 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # file order IS event-time order in the fixtures (event_id-sorted)
+    pq.write_table(src.slice(0, half), str(landing / "part-0.parquet"))
+    pq.write_table(src.slice(half), str(landing / "part-1.parquet"))
+
+    events = read_events_stream(spark, str(landing))
+    got = (
+        _run(spark, stateful_zscore_stream(events), "update")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expected = (
+        anomaly_zscore_rolling(spark, SF)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_id"]) == list(expected["event_id"])
+    assert list(got["value_cents"]) == list(expected["value_cents"])
+    assert list(got["n_window"]) == list(expected["n_window"])
+    assert list(got["is_anomaly"]) == list(expected["is_anomaly"])
+    assert got["is_anomaly"].any()

@@ -126,3 +126,50 @@ def test_binaryfile_hashes_match_direct_reads(spark, sf_oracle):
         payload = open(os.path.join(staged, name), "rb").read()
         assert length == len(payload)
         assert md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge + a pendant: 4 nodes {1,2,3,4} fully connected
+    except (3,4), plus 5-6. Triangles: (1,2,3) and (1,2,4) → 2."""
+    from historic_score_etl_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6), (2, 1), (3, 3)],
+        "u long, v long",
+    )  # includes a duplicate reversed edge and a self-loop
+    row = triangle_count(edges, "u", "v").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 6, 2)
+
+
+def test_triangle_count_matches_python_recompute(spark, sf_smoke):
+    """Adjacency-set recompute on the sf0.001 co-order graph: Σ_edges
+    |N(u)∩N(v)| counts each triangle 3× ."""
+    from historic_score_etl_pipeline_spark.contract.surface19 import (
+        graph_triangle_count,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    adj: dict[int, set[int]] = {}
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                edges.add((u, v))
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    tri3 = sum(len(adj[u] & adj[v]) for u, v in edges)
+    assert tri3 % 3 == 0
+
+    row = graph_triangle_count(spark, sf_smoke).collect()[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri3 // 3
+    assert row["n_triangles"] > 0
