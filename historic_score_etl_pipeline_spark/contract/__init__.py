@@ -120,7 +120,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-25 (new this round) — large×large interval join, exact anomaly
     # flags, binaryFile ingest
     "join_interval_overlap", "anomaly_zscore_rolling", "scan_binaryfile",
-    "graph_triangle_count",
+    "graph_triangle_count", "graph_pagerank",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

@@ -226,6 +226,67 @@ FROM nodes
 """
 
 
+# --- integer-exact PageRank ------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank refinement rounds over the symmetric co-order part
+    graph (operators/graph.py::pagerank_integer): every quantity is
+    integer rank-units with floor division, so the scores are bit-exact
+    across engines — which is what lets an ITERATIVE graph algorithm
+    have a full value-hash oracle (the SQL twin unrolls the three
+    rounds)."""
+    from historic_score_etl_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return pagerank_integer(edges, "u", "v", iters=_PR_ITERS)
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT e.v AS node,
+         CAST(((1000000000000 * 15) // 100) // nn.n
+              + sum((({prev}.r * 85) // 100) // outd.outd) AS BIGINT) AS r
+  FROM e
+  JOIN {prev} ON e.u = {prev}.node
+  JOIN outd ON e.u = outd.u
+  CROSS JOIN nn
+  GROUP BY e.v, nn.n
+)"""
+
+
+GRAPH_PAGERANK_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+outd AS (SELECT u, count(*) AS outd FROM e GROUP BY u),
+nn AS (SELECT count(*) AS n FROM outd),
+r0 AS (
+  SELECT outd.u AS node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+  FROM outd CROSS JOIN nn
+),{_pr_iter_sql("r0", "r1")},{_pr_iter_sql("r1", "r2")},{_pr_iter_sql("r2", "r3")}
+SELECT node, r AS rank_units FROM r3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL
@@ -233,6 +294,7 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_triangle_count": QuerySpec(
         graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL
     ),
+    "graph_pagerank": QuerySpec(graph_pagerank, GRAPH_PAGERANK_SQL),
     "anomaly_zscore_rolling": QuerySpec(
         anomaly_zscore_rolling, ANOMALY_ZSCORE_ROLLING_SQL
     ),

@@ -230,3 +230,62 @@ def triangle_count(
             n_tri.select(F.col("n").cast("long").alias("n_triangles"))
         )
     )
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # total rank mass, integer units
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank with EXACT integer arithmetic — every quantity is integer
+    rank-units (total mass 10¹²) and every division is floor division,
+    so the result is bit-identical across engines, partitionings, and
+    retries (floating-point PageRank drifts with shuffle order; the
+    truncated mass per step is < 1 unit per edge — negligible and,
+    more importantly, deterministic).
+
+    Input must be a SYMMETRIC directed edge list (both directions
+    present, no self-loops) — then every node has out-degree ≥ 1 and the
+    dangling-mass term vanishes.  Recurrence per iteration:
+
+        sent(u)     = (r(u) · damping_pct) div 100
+        per_edge(u) = sent(u) div out(u)
+        r'(v)       = base + Σ_{u→v} per_edge(u),
+        base        = ((SCALE · (100 − damping_pct)) div 100) div N
+
+    Scale shape: each iteration is one equi-join of the edge list with
+    the |V|-row rank table on the source node plus one sum keyed on the
+    destination — two hash shuffles per round, no broadcast of anything
+    graph-sized, no driver state (N is computed once).  ``iters`` is
+    fixed (the analytics use-case: a few refinement rounds), so the
+    lineage stays shallow without checkpointing.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+    n = outd.count()  # |V| — one scalar on the driver, like CC's counts
+    base = ((PAGERANK_SCALE * (100 - damping_pct)) // 100) // n
+    r0 = PAGERANK_SCALE // n
+    ranks = outd.select("u", F.lit(r0).cast("long").alias("r"))
+    ew = e.join(outd, "u")  # (u, v, outd) — reused every round
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, "u")
+            .select(
+                "v",
+                F.expr(f"(r * {damping_pct}) div 100 div outd").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("acc"))
+        )
+        ranks = contrib.select(
+            F.col("v").alias("u"),
+            (F.lit(base) + F.col("acc")).cast("long").alias("r"),
+        )
+    return ranks.select(
+        F.col("u").alias("node"), F.col("r").alias("rank_units")
+    )

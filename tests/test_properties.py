@@ -135,3 +135,58 @@ def test_asof_backward_join_matches_brute_force(spark, case):
         ]
         expected = max(candidates)[1] if candidates else None
         assert got[i] == expected, (i, k, t, candidates)
+
+
+@st.composite
+def _interval_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    def side(max_size):
+        return draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, n_keys - 1),
+                    st.integers(0, 400),      # start
+                    st.integers(0, 350),      # span
+                ),
+                min_size=0,
+                max_size=max_size,
+            )
+        )
+    return side(20), side(20), draw(st.sampled_from([50, 100, 333]))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_interval_case())
+def test_interval_overlap_join_matches_brute_force(spark, case):
+    """The bin-bucketed overlap join must agree with the O(n·m) python
+    brute force for arbitrary intervals and bin widths — including
+    touching endpoints (closed intervals), spans larger than a bin, and
+    zero-length intervals — and emit each pair exactly once."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    a_rows, b_rows, width = case
+    a = spark.createDataFrame(
+        [(i, k, s, s + d) for i, (k, s, d) in enumerate(a_rows)],
+        "id_a: bigint, k: bigint, s: bigint, e: bigint",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, k, s, s + d) for i, (k, s, d) in enumerate(b_rows)],
+        "id_b: bigint, k: bigint, s: bigint, e: bigint",
+    )
+    rows = interval_overlap_join(a, b, "k", "s", "e", bin_width=width).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    got = {(r["id_a"], r["id_b"]): r["overlap_us"] for r in rows}
+    expected = {}
+    for i, (ka, sa, da) in enumerate(a_rows):
+        for j, (kb, sb, db) in enumerate(b_rows):
+            ea, eb = sa + da, sb + db
+            if ka == kb and sa <= eb and sb <= ea:
+                expected[(i, 100 + j)] = min(ea, eb) - max(sa, sb)
+    assert got == expected

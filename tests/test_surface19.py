@@ -173,3 +173,51 @@ def test_triangle_count_matches_python_recompute(spark, sf_smoke):
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == tri3 // 3
     assert row["n_triangles"] > 0
+
+
+def test_pagerank_matches_python_recompute_exactly(spark, sf_smoke):
+    """Integer PageRank must be BIT-EXACT against a from-scratch Python
+    recompute (same floor-division recurrence), and the total mass must
+    stay within N truncation units of SCALE·(sum of base + damped)."""
+    from historic_score_etl_pipeline_spark.contract.surface19 import (
+        graph_pagerank, _PR_ITERS,
+    )
+    from historic_score_etl_pipeline_spark.operators.graph import (
+        PAGERANK_SCALE,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    adj: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    adj.setdefault(u, set()).add(v)
+    n = len(adj)
+    base = ((PAGERANK_SCALE * 15) // 100) // n
+    r = {u: PAGERANK_SCALE // n for u in adj}
+    for _ in range(_PR_ITERS):
+        acc = {u: 0 for u in adj}
+        for u, nbrs in adj.items():
+            per_edge = ((r[u] * 85) // 100) // len(nbrs)
+            for v in nbrs:
+                acc[v] += per_edge
+        r = {u: base + acc[u] for u in adj}
+
+    got = {
+        row["node"]: row["rank_units"]
+        for row in graph_pagerank(spark, sf_smoke).collect()
+    }
+    assert got == r
+    # mass sanity: total stays within truncation slack of the ideal
+    ideal = n * base + (PAGERANK_SCALE * 85) // 100
+    assert 0 < sum(got.values()) <= ideal
+    # each iteration truncates < 1 unit per node (×85//100) plus
+    # < out(u) units per node (div out) → < n + m per round, compounding
+    m = sum(len(v) for v in adj.values())
+    assert ideal - sum(got.values()) < _PR_ITERS * (n + m)
