@@ -56,6 +56,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface17,
         surface18,
         surface19,
+        surface20,
         windows,
     )
 
@@ -85,6 +86,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface17,
         surface18,
         surface19,
+        surface20,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -121,6 +123,8 @@ _ROUND_HEAD: tuple[str, ...] = (
     # flags, binaryFile ingest
     "join_interval_overlap", "anomaly_zscore_rolling", "scan_binaryfile",
     "graph_triangle_count", "graph_pagerank",
+    # batch-27: window distinct count + ES weighted sampling
+    "window_distinct_count", "sample_weighted_hash",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

@@ -1,0 +1,153 @@
+"""Round-3 batch 27 — two operators Spark lacks natively, restated as
+compositions (the SURVEY §4.2 custom-operator rule):
+
+* running COUNT(DISTINCT) over a window — unsupported in Spark SQL
+  (and a full per-row set would be O(group²) state); restated as
+  first-occurrence flags + a running sum, one shuffle + two sorted
+  passes over the same partitioning;
+* weighted sampling without replacement — Efraimidis–Spirakis priority
+  sampling with a seeded md5 uniform in place of the random key, so the
+  k-sample is deterministic across engines/retries while honoring the
+  weights exactly.
+
+Determinism: the single float (ln in the ES key) is fixed-pointed to an
+integer priority BEFORE ranking, ties break on doc_id; everything else
+is integer/string; aggregates CAST to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+# --- running distinct count over a window ---------------------------------------
+
+
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the number of DISTINCT event types seen up to and
+    including each event.  Spark has no COUNT(DISTINCT) OVER — and a
+    naive collect_set-over-window carries a per-row set.  The scalable
+    restatement: mark each (user, type)'s FIRST occurrence (lag over the
+    type-major sort), then running-sum the 0/1 flags in event-time order.
+    Both windows partition on user_id only, so the plan is ONE hash
+    shuffle + two sorted passes — per-row state is one long, never a
+    set."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_type = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts_us", "event_id"
+    )
+    first_flag = (
+        F.lag("event_type").over(w_type).isNull()
+        | (F.lag("event_type").over(w_type) != F.col("event_type"))
+    ).cast("long")
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("f", first_flag)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("f").over(w_time).cast("long").alias("n_distinct_types"),
+        )
+    )
+
+
+WINDOW_DISTINCT_COUNT_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY event_type, ts_us, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS f
+  FROM base
+)
+SELECT event_id, user_id,
+       CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_distinct_types
+FROM flagged
+"""
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis) -----------------------
+
+_ES_K = 10
+_ES_SEED = "es42:"
+_ES_DENOM = 4_294_967_297.0  # 2^32 + 1: u = (h+1)/DENOM ∈ (0, 1)
+
+
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional k-sample per language WITHOUT replacement and
+    WITHOUT RNG state: Efraimidis–Spirakis priority sampling
+    (min-k of -ln(u)/w ≡ max-k of u^(1/w)) with u derived from
+    md5(seed‖doc_id) — heavier docs (weight = n_chars) win
+    proportionally more often, yet the sample is identical on every
+    engine, retry, and partitioning.  The float key is fixed-pointed to
+    integer nano-units BEFORE ranking (ties → doc_id).  One shuffle on
+    lang; the rank compiles to WindowGroupLimit top-k, so per-group
+    state is k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(_ES_SEED), F.col("doc_id").cast("string"))),
+        1, 8,
+    ), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_ES_DENOM)
+    key = F.floor(
+        -F.log(u) / F.col("n_chars").cast("double") * F.lit(1e9)
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("priority"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ES_K)
+        .select("doc_id", "lang", "weight", "priority",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SAMPLE_WEIGHTED_HASH_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         CAST(floor(-ln((CAST(CAST(('0x' || substr(
+                  md5('{_ES_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS DOUBLE) + 1.0) / {_ES_DENOM})
+               / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT)
+           AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, weight, priority,
+         row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id)
+           AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, weight, priority, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_ES_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_distinct_count": QuerySpec(
+        window_distinct_count, WINDOW_DISTINCT_COUNT_SQL
+    ),
+    "sample_weighted_hash": QuerySpec(
+        sample_weighted_hash, SAMPLE_WEIGHTED_HASH_SQL
+    ),
+}

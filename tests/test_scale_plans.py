@@ -412,3 +412,25 @@ def test_reservoir_sample_uses_window_group_limit(spark, sf_oracle):
 
     plan = explain_str(sample_reservoir_hash(spark, sf_oracle))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_window_distinct_count_one_shuffle_two_sorts(spark, sf_oracle):
+    """Running COUNT(DISTINCT) restatement: both windows partition on
+    user_id, so the plan is ONE exchange; the two orderings are two Sort
+    nodes, never a second shuffle."""
+    from historic_score_etl_pipeline_spark.contract.surface20 import (
+        window_distinct_count,
+    )
+
+    plan = explain_str(window_distinct_count(spark, sf_oracle))
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_oracle):
+    from historic_score_etl_pipeline_spark.contract.surface20 import (
+        sample_weighted_hash,
+    )
+
+    plan = explain_str(sample_weighted_hash(spark, sf_oracle))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange (") == 1, plan
