@@ -124,7 +124,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     "join_interval_overlap", "anomaly_zscore_rolling", "scan_binaryfile",
     "graph_triangle_count", "graph_pagerank",
     # batch-27: window distinct count + ES weighted sampling
-    "window_distinct_count", "sample_weighted_hash",
+    "window_distinct_count", "sample_weighted_hash", "join_spatial_grid",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

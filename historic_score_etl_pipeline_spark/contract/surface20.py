@@ -143,10 +143,52 @@ FROM ranked WHERE rk <= {_ES_K}
 """
 
 
+# --- grid-bucketed spatial neighbor join -----------------------------------------
+
+_SP_DIST = 0.02
+
+
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs within Euclidean distance 0.02 in the first
+    two dimensions (operators/joins.py::spatial_neighbor_join) — the 2-D
+    member of the bin-bucket family: probe side replicated into its 3×3
+    cell neighborhood, build side in its home cell only, plain equi-join
+    on (cell_x, cell_y); an unordered pair meets exactly twice and
+    ``id_a < id_b`` keeps one — emit-once, no dedup.  Oracle is the
+    naive theta self-join with the identical squared-distance fixpoint."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        spatial_neighbor_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    return spatial_neighbor_join(pts, "vec_id", "x", "y", _SP_DIST)
+
+
+JOIN_SPATIAL_GRID_SQL = f"""
+WITH p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                  * 1000000000000.0 + 0.5) AS BIGINT) AS dist_sq_e12
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_SP_DIST} * {_SP_DIST}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distinct_count": QuerySpec(
         window_distinct_count, WINDOW_DISTINCT_COUNT_SQL
     ),
+    "join_spatial_grid": QuerySpec(join_spatial_grid, JOIN_SPATIAL_GRID_SQL),
     "sample_weighted_hash": QuerySpec(
         sample_weighted_hash, SAMPLE_WEIGHTED_HASH_SQL
     ),

@@ -513,3 +513,78 @@ def interval_overlap_join(
             ).cast("long").alias("overlap_us"),
         )
     )
+
+
+def spatial_neighbor_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    distance: float,
+) -> DataFrame:
+    """All point pairs within Euclidean ``distance`` — the 2-D member of
+    the bin-bucket family (1-D time = ``interval_overlap_join``): each
+    point replicates into its 3×3 grid-cell neighborhood on the probe
+    side and joins the build side's HOME cell with a plain equi-join on
+    (cell_x, cell_y).  Cell size = ``distance``, so any qualifying pair
+    differs by ≤ 1 cell per axis and is guaranteed to meet; because the
+    build side sits only in its unique home cell, an unordered pair
+    meets exactly twice (once per role) and the ``id_a < id_b`` filter
+    keeps exactly one — emit-once with no dedup pass.
+
+    Scale shape: 9× replication of one side, then hash-join on the cell
+    key — never an all-pairs comparison; a dense region only fans out
+    within its own cells.  Output ``dist_sq_e12`` is the squared
+    distance fixed-pointed to 1e-12 units (BIGINT) — float-free for
+    cross-engine hashing.
+    """
+    c = float(distance)
+    d2 = c * c
+    home_x = F.floor(F.col("x") / F.lit(c))
+    home_y = F.floor(F.col("y") / F.lit(c))
+    base = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = base.select(
+        F.col("pid").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    offsets,
+                    lambda dx: F.transform(
+                        offsets,
+                        lambda dy: F.struct(
+                            (home_x + dx).alias("cx"),
+                            (home_y + dy).alias("cy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    build = base.select(
+        F.col("pid").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        home_x.alias("cx"),
+        home_y.alias("cy"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist_sq = dx * dx + dy * dy
+    return (
+        probe.join(build, ["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (dist_sq <= F.lit(d2)))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(dist_sq * F.lit(1e12) + F.lit(0.5))
+            .cast("long")
+            .alias("dist_sq_e12"),
+        )
+    )

@@ -190,3 +190,53 @@ def test_interval_overlap_join_matches_brute_force(spark, case):
             if ka == kb and sa <= eb and sb <= ea:
                 expected[(i, 100 + j)] = min(ea, eb) - max(sa, sb)
     assert got == expected
+
+
+@st.composite
+def _spatial_case(draw):
+    pts = draw(
+        st.lists(
+            st.tuples(
+                st.integers(-30, 30),  # x in 0.1 units
+                st.integers(-30, 30),  # y in 0.1 units
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    d = draw(st.sampled_from([0.15, 0.3, 1.0]))
+    return pts, d
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_spatial_case())
+def test_spatial_neighbor_join_matches_brute_force(spark, case):
+    """The 3×3-cell grid join must agree with the O(n²) brute force for
+    arbitrary points and thresholds — including exact-threshold pairs,
+    duplicate coordinates, and negative coordinates — and emit each pair
+    exactly once."""
+    from historic_score_etl_pipeline_spark.operators.joins import (
+        spatial_neighbor_join,
+    )
+
+    pts, d = case
+    points = spark.createDataFrame(
+        [(i, x / 10.0, y / 10.0) for i, (x, y) in enumerate(pts)],
+        "pid: bigint, x: double, y: double",
+    )
+    rows = spatial_neighbor_join(points, "pid", "x", "y", d).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    got = {(r["id_a"], r["id_b"]): r["dist_sq_e12"] for r in rows}
+    expected = {}
+    for i, (xi, yi) in enumerate(pts):
+        for j in range(i + 1, len(pts)):
+            xj, yj = pts[j]
+            dsq = ((xi - xj) / 10.0) ** 2 + ((yi - yj) / 10.0) ** 2
+            if dsq <= d * d:
+                expected[(i, j)] = int(dsq * 1e12 + 0.5)
+    assert got == expected
