@@ -105,8 +105,12 @@ def asof_backward_join(
     payload forward — per-key window state is one scalar per payload
     column, never a buffered history, and no left-row × all-earlier-history
     intermediate ever materializes.  Verified equivalent to DuckDB's native
-    ``ASOF LEFT JOIN`` (contract key ``join_asof_backward``).  At 100 TB,
-    bucket both sides by ``key`` and even the one shuffle disappears.
+    ``ASOF LEFT JOIN`` (contract key ``join_asof_backward``).  The one
+    shuffle is INHERENT to the union-merge idiom: Spark does not propagate
+    bucketing through a union (measured —
+    tests/test_scale_utils.py::test_bucketing_does_not_survive_union), so
+    pre-bucketed inputs still exchange once here; bucketing does pay off
+    for the single-table window in :func:`asof_last_n`.
 
     ``right_tiebreak``: column resolving equal-``right_ts`` right rows (the
     LAST in (ts, tiebreak) ascending order wins, i.e. the max tiebreak).

@@ -140,3 +140,46 @@ def test_stage_landing_zone_restages_on_source_change(spark, tmp_path):
     staged_events = spark.read.parquet(os.path.join(out, "events.parquet"))
     assert staged_events.count() == 4
     shutil.rmtree(out)
+
+
+def test_bucketing_does_not_survive_union(spark):
+    """Measured limitation the as-of docs depend on: a window over ONE
+    bucketed table needs no exchange, but the union of two same-bucketed
+    tables loses the distribution — the union-merge as-of plan's single
+    shuffle is inherent, not a missed optimization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    a = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("t")
+    )
+    b = spark.range(500).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 2).alias("t")
+    )
+    try:
+        for name, df in (("bk_a", a), ("bk_b", b)):
+            df.write.mode("overwrite").bucketBy(8, "k").sortBy("t").format(
+                "parquet"
+            ).saveAsTable(name)
+        w = (
+            Window.partitionBy("k")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        single = spark.table("bk_a").withColumn("r", F.sum("t").over(w))
+        assert "Exchange" not in _explain(single), _explain(single)
+
+        u = (
+            spark.table("bk_a").withColumn("tag", F.lit(1))
+            .unionByName(spark.table("bk_b").withColumn("tag", F.lit(0)))
+        )
+        w2 = (
+            Window.partitionBy("k")
+            .orderBy("t", "tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = u.withColumn("r", F.sum("t").over(w2))
+        assert "Exchange" in _explain(merged)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
