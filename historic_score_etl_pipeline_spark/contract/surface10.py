@@ -155,10 +155,15 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines)."""
     ev = load_table(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    # exact integer MICROSECONDS on both sides: a seconds-truncating cast
+    # disagrees with DuckDB's fractional epoch() exactly at the gap
+    # boundary (first seen at sf0.1: one 43200.23 s gap)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        order
+    )
     flagged = ev.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > _GAP_S), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > _GAP_S * 1_000_000), 1).otherwise(0),
     )
     with_id = flagged.withColumn(
         "session_id",
@@ -181,7 +186,7 @@ SESSIONIZE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-               OR epoch(ts) - epoch(lag(ts) OVER w) > {_GAP_S}
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

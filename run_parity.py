@@ -11,11 +11,14 @@ must pass BOTH modes (round-2 full sweep: 153/153 in each).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from historic_score_etl_pipeline_spark.testing import run_parity
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_PARITY_SF to cross-check at another scale
+# (e.g. sf0.1 — the bench scale) against the same DuckDB oracles
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 
 
 def _hostile_spark():
