@@ -77,3 +77,58 @@ def test_weighted_sample_matches_es_priorities(spark, sf_oracle):
     corpus_mean = sum(r["n_chars"] for r in rows) / len(rows)
     sample_mean = sum(w for w, _p, _r in got.values()) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_jdbc_roundtrip_reads_partitioned(spark, sf_oracle):
+    """The JDBC read must actually fan out into the 4 range partitions
+    (one task each), and the round-trip must be value-lossless."""
+    from historic_score_etl_pipeline_spark.contract.surface21 import (
+        scan_jdbc_roundtrip, _staged_jdbc_url, _DERBY_DRIVER, _JDBC_KEY_CAP,
+    )
+
+    url = _staged_jdbc_url(spark, sf_oracle)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_stage")
+        .option("driver", _DERBY_DRIVER)
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "0")
+        .option("upperBound", str(_JDBC_KEY_CAP))
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4
+    orig = load_table(spark, sf_oracle, "orders").where(
+        F.col("o_orderkey") < _JDBC_KEY_CAP
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+    assert scan_jdbc_roundtrip(spark, sf_oracle).count() > 0
+
+
+def test_hashing_tf_matches_python(spark, sf_oracle):
+    """Bucket assignment and term frequencies equal a direct md5
+    recompute; total tf mass equals total token count (nothing lost to
+    hashing)."""
+    import hashlib
+
+    from historic_score_etl_pipeline_spark.contract.surface21 import (
+        text_hashing_tf, _HASH_DIM,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    rows = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    expected: dict[tuple[int, int], int] = {}
+    n_tokens = 0
+    for doc_id, text in rows.items():
+        for tok in (t for t in text.split(" ") if t):
+            n_tokens += 1
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % _HASH_DIM
+            expected[(doc_id, b)] = expected.get((doc_id, b), 0) + 1
+    got = {
+        (r["doc_id"], r["bucket"]): r["tf"]
+        for r in text_hashing_tf(spark, sf_oracle).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == n_tokens
