@@ -138,9 +138,82 @@ GROUP BY doc_id, bucket
 """
 
 
+# --- linear classifier inference over hashed features -----------------------------
+
+_W_SCALE = 1000  # weights in milli-units
+_BIAS_MILLI = 2_354  # bias term, milli-units (centers the synthetic corpus)
+
+
+def text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE over the hashed features — the
+    fastText-style deployment shape: a trained model is just a
+    ``bucket → weight`` table broadcast onto the (doc, bucket, tf) rows,
+    ``z = bias + Σ tf·w`` per doc, keep when z > 0.  Weights here are a
+    deterministic stand-in (md5-derived integers in [-500, 500) milli-
+    units — in production they arrive from training, the dataflow is
+    identical); all arithmetic is INTEGER milli-units, so scores are
+    exact across engines (a sigmoid would only monotone-transform z, so
+    thresholding z directly avoids cross-libm exp() drift).
+
+    Scale shape: reuses the hashed-TF aggregation (one shuffle on doc),
+    the 64-row weight table folds in as an expression — no join, no
+    second shuffle, no Python."""
+    tf = text_hashing_tf(spark, sf_dir)
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), F.col("bucket"))), 1, 4),
+            16, 10,
+        ).cast("long")
+        % F.lit(_W_SCALE)
+        - F.lit(_W_SCALE // 2)
+    )
+    return (
+        tf.select("doc_id", (F.col("tf") * w).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(_BIAS_MILLI) + F.sum("contrib"))
+            .cast("long")
+            .alias("z_milli")
+        )
+        .select(
+            "doc_id", "z_milli", (F.col("z_milli") > 0).alias("keep")
+        )
+    )
+
+
+TEXT_CLASSIFIER_LINEAR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, x AS tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS x
+        FROM documents)
+),
+tf AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % {_HASH_DIM}
+           AS bucket,
+         count(*) AS tf
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST({_BIAS_MILLI} + sum(tf * (
+           CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 4))
+                AS BIGINT) % {_W_SCALE} - {_W_SCALE // 2}
+       )) AS BIGINT) AS z_milli,
+       CAST({_BIAS_MILLI} + sum(tf * (
+           CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 4))
+                AS BIGINT) % {_W_SCALE} - {_W_SCALE // 2}
+       )) AS BIGINT) > 0 AS keep
+FROM tf GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scan_jdbc_roundtrip": QuerySpec(
         scan_jdbc_roundtrip, SCAN_JDBC_ROUNDTRIP_SQL
     ),
     "text_hashing_tf": QuerySpec(text_hashing_tf, TEXT_HASHING_TF_SQL),
+    "text_classifier_linear": QuerySpec(
+        text_classifier_linear, TEXT_CLASSIFIER_LINEAR_SQL
+    ),
 }

@@ -132,3 +132,42 @@ def test_hashing_tf_matches_python(spark, sf_oracle):
     }
     assert got == expected
     assert sum(got.values()) == n_tokens
+
+
+def test_classifier_linear_matches_python_and_no_join(spark, sf_oracle):
+    """z scores equal the direct integer recompute, both verdict classes
+    occur, and the physical plan contains NO join — the weight table
+    folds in as an expression."""
+    import hashlib
+
+    from historic_score_etl_pipeline_spark.contract.surface21 import (
+        text_classifier_linear, _HASH_DIM, _W_SCALE, _BIAS_MILLI,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    rows = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+    def weight(bucket: int) -> int:
+        h = int(hashlib.md5(f"w:{bucket}".encode()).hexdigest()[:4], 16)
+        return h % _W_SCALE - _W_SCALE // 2
+
+    expected = {}
+    for doc_id, text in rows.items():
+        tf: dict[int, int] = {}
+        for tok in (t for t in text.split(" ") if t):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % _HASH_DIM
+            tf[b] = tf.get(b, 0) + 1
+        z = _BIAS_MILLI + sum(c * weight(b) for b, c in tf.items())
+        expected[doc_id] = (z, z > 0)
+
+    df = text_classifier_linear(spark, sf_oracle)
+    got = {r["doc_id"]: (r["z_milli"], r["keep"]) for r in df.collect()}
+    assert got == expected
+    verdicts = {keep for _z, keep in got.values()}
+    assert verdicts == {True, False}
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Join" not in buf.getvalue()
