@@ -35,9 +35,14 @@ def _staged_jdbc_url(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    # embedded Derby permits ONE JVM per database directory — scope the
+    # path by Spark application id so concurrent sessions (pytest +
+    # run_parity, hostile + normal) never collide on the boot lock
     tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
     url = (
-        f"jdbc:derby:{os.path.join(tempfile.gettempdir(), f'hsep_jdbc_{tag}')}"
+        f"jdbc:derby:"
+        f"{os.path.join(tempfile.gettempdir(), f'hsep_jdbc_{tag}_{app}')}"
         ";create=true"
     )
     df = (

@@ -236,7 +236,15 @@ def test_spatial_neighbor_join_matches_brute_force(spark, case):
     for i, (xi, yi) in enumerate(pts):
         for j in range(i + 1, len(pts)):
             xj, yj = pts[j]
-            dsq = ((xi - xj) / 10.0) ** 2 + ((yi - yj) / 10.0) ** 2
+            # mirror the OPERATOR's arithmetic exactly: coordinates are
+            # divided first (as in the DataFrame), THEN subtracted —
+            # (xi-xj)/10 differs in the last ulp and flips pairs sitting
+            # exactly on the threshold (found by hypothesis: 2.3 vs 2.6
+            # at d=0.3)
+            dx = xi / 10.0 - xj / 10.0
+            dy = yi / 10.0 - yj / 10.0
+            dsq = dx * dx + dy * dy
             if dsq <= d * d:
-                expected[(i, j)] = int(dsq * 1e12 + 0.5)
+                import math
+                expected[(i, j)] = int(math.floor(dsq * 1e12 + 0.5))
     assert got == expected
