@@ -155,9 +155,25 @@ def _staged_blob_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "text")
         .collect()
     )
+    staged = set()
     for r in docs:
-        with open(os.path.join(out, f"doc_{r['doc_id']:04d}.bmp"), "wb") as f:
+        name = f"doc_{r['doc_id']:04d}.bmp"
+        staged.add(name)
+        # write-then-rename: atomic on POSIX, so a concurrent session's
+        # binaryFile scan never reads a torn file (contents are
+        # deterministic, so whichever rename lands last is identical)
+        tmp = os.path.join(out, f".{name}.{os.getpid()}.tmp")
+        with open(tmp, "wb") as f:
             f.write(render_text_bmp(r["text"]))
+        os.replace(tmp, os.path.join(out, name))
+    # prune strays from older runs with a different _N_BLOB_FILES — a
+    # stale doc_*.bmp would match pathGlobFilter and inflate the scan
+    for fname in os.listdir(out):
+        if fname.endswith(".bmp") and fname not in staged:
+            try:
+                os.remove(os.path.join(out, fname))
+            except OSError:
+                pass
     return out
 
 

@@ -5,14 +5,16 @@ compositions (the SURVEY §4.2 custom-operator rule):
   (and a full per-row set would be O(group²) state); restated as
   first-occurrence flags + a running sum, one shuffle + two sorted
   passes over the same partitioning;
-* weighted sampling without replacement — Efraimidis–Spirakis priority
-  sampling with a seeded md5 uniform in place of the random key, so the
-  k-sample is deterministic across engines/retries while honoring the
-  weights exactly.
+* weighted sampling without replacement — priority sampling
+  (Duffield-Lund-Thorup, q = u/w) with a seeded md5 uniform in place of
+  the random key, so the k-sample is deterministic across
+  engines/retries while honoring the weights.
 
-Determinism: the single float (ln in the ES key) is fixed-pointed to an
-integer priority BEFORE ranking, ties break on doc_id; everything else
-is integer/string; aggregates CAST to BIGINT.
+Determinism: the priority key uses ONLY correctly-rounded IEEE ops
+(+, /, ×, floor) — no libm calls (Spark's JVM ln diverges from glibc by
+1 ulp on ~1% of inputs, measured in review) — and is fixed-pointed
+BEFORE ranking, ties break on doc_id; everything else is
+integer/string; aggregates CAST to BIGINT.
 """
 
 from __future__ import annotations
@@ -82,31 +84,34 @@ FROM flagged
 """
 
 
-# --- deterministic weighted sampling (Efraimidis–Spirakis) -----------------------
+# --- deterministic weighted sampling (priority sampling) -------------------------
 
 _ES_K = 10
 _ES_SEED = "es42:"
-_ES_DENOM = 4_294_967_297.0  # 2^32 + 1: u = (h+1)/DENOM ∈ (0, 1)
 
 
 def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional k-sample per language WITHOUT replacement and
-    WITHOUT RNG state: Efraimidis–Spirakis priority sampling
-    (min-k of -ln(u)/w ≡ max-k of u^(1/w)) with u derived from
-    md5(seed‖doc_id) — heavier docs (weight = n_chars) win
-    proportionally more often, yet the sample is identical on every
-    engine, retry, and partitioning.  The float key is fixed-pointed to
-    integer nano-units BEFORE ranking (ties → doc_id).  One shuffle on
-    lang; the rank compiles to WindowGroupLimit top-k, so per-group
-    state is k rows."""
+    WITHOUT RNG state: priority sampling (Duffield-Lund-Thorup) — the k
+    rows with the smallest q = u / w per group, u a seeded md5 uniform,
+    weight w = n_chars.  Heavier docs draw proportionally smaller
+    priorities, yet the sample is identical on every engine, retry, and
+    partitioning.  Deliberately NOT the Efraimidis-Spirakis -ln(u)/w
+    key: ln is a libm call, and Spark's (JVM) log diverges from
+    DuckDB's (glibc) by 1 ulp on ~1% of these inputs (measured) —
+    division and multiplication are correctly-rounded IEEE ops,
+    bit-identical everywhere, so the fixpointed key has NO cross-engine
+    float surface.  Ties → doc_id.  One shuffle on lang; the rank
+    compiles to WindowGroupLimit top-k, so per-group state is k rows."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(_ES_SEED), F.col("doc_id").cast("string"))),
         1, 8,
     ), 16, 10).cast("long")
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(_ES_DENOM)
     key = F.floor(
-        -F.log(u) / F.col("n_chars").cast("double") * F.lit(1e9)
+        (h.cast("double") + F.lit(1.0))
+        / F.col("n_chars").cast("double")
+        * F.lit(1e9)
     ).cast("long")
     w = Window.partitionBy("lang").orderBy("priority", "doc_id")
     return (
@@ -125,9 +130,9 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_WEIGHTED_HASH_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
-         CAST(floor(-ln((CAST(CAST(('0x' || substr(
+         CAST(floor((CAST(CAST(('0x' || substr(
                   md5('{_ES_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) AS DOUBLE) + 1.0) / {_ES_DENOM})
+                  AS BIGINT) AS DOUBLE) + 1.0)
                / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT)
            AS priority
   FROM documents

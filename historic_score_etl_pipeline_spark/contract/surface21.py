@@ -40,11 +40,24 @@ def _staged_jdbc_url(spark: SparkSession, sf_dir: str) -> str:
     # run_parity, hostile + normal) never collide on the boot lock
     tag = os.path.basename(sf_dir.rstrip("/"))
     app = spark.sparkContext.applicationId
-    url = (
-        f"jdbc:derby:"
-        f"{os.path.join(tempfile.gettempdir(), f'hsep_jdbc_{tag}_{app}')}"
-        ";create=true"
-    )
+    base = tempfile.gettempdir()
+    db_dir = os.path.join(base, f"hsep_jdbc_{tag}_{app}")
+    # app-scoped dirs are never reused — reap siblings older than 6 h so
+    # repeated sessions don't grow /tmp unboundedly (age guard keeps a
+    # LIVE concurrent session's database safe)
+    import shutil
+    import time
+
+    cutoff = time.time() - 6 * 3600
+    for d in os.listdir(base):
+        if d.startswith(f"hsep_jdbc_{tag}_") and d != os.path.basename(db_dir):
+            full = os.path.join(base, d)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    url = f"jdbc:derby:{db_dir};create=true"
     df = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < _JDBC_KEY_CAP)

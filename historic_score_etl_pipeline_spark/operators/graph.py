@@ -268,6 +268,10 @@ def pagerank_integer(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
     n = outd.count()  # |V| — one scalar on the driver, like CC's counts
+    if n == 0:  # empty graph → empty ranks, not a ZeroDivisionError
+        return e.select(
+            F.col("u").alias("node"), F.lit(0).cast("long").alias("rank_units")
+        )
     base = ((PAGERANK_SCALE * (100 - damping_pct)) // 100) // n
     r0 = PAGERANK_SCALE // n
     ranks = outd.select("u", F.lit(r0).cast("long").alias("r"))

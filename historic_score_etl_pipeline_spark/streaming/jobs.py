@@ -525,8 +525,18 @@ def stateful_zscore_stream(
     def update(key: tuple, pdfs, state: GroupState):
         recent: list[int] = list(state.get[0]) if state.exists else []
         out_ids, out_x, out_n, out_flag = [], [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # ONE sort over the whole micro-batch: a user's rows can span
+        # several Arrow chunks (maxRecordsPerBatch), and sorting each
+        # chunk independently would fold them out of event-time order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        merged = (
+            pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            if chunks
+            else None
+        )
+        for pdf in ([merged] if merged is not None else []):
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 x = int(math.floor(float(val) * 100 + 0.5))
                 n = len(recent)

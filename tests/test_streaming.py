@@ -351,3 +351,37 @@ def test_stream_zscore_matches_batch_operator(spark, tmp_path):
     assert list(got["n_window"]) == list(expected["n_window"])
     assert list(got["is_anomaly"]) == list(expected["is_anomaly"])
     assert got["is_anomaly"].any()
+
+
+def test_stream_zscore_survives_multi_chunk_groups(spark, tmp_path):
+    """With arrow maxRecordsPerBatch forced tiny, a user's rows span
+    several pandas chunks inside one micro-batch — the fold must still
+    process them in global (ts, event_id) order (regression: per-chunk
+    sorting folded chunks out of order)."""
+    from historic_score_etl_pipeline_spark.contract.surface19 import (
+        anomaly_zscore_rolling,
+    )
+    from historic_score_etl_pipeline_spark.streaming.jobs import (
+        stateful_zscore_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        events = read_events_stream(spark, f"{SF}/events.parquet")
+        got = (
+            _run(spark, stateful_zscore_stream(events), "update")
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    expected = (
+        anomaly_zscore_rolling(spark, SF)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_window"]) == list(expected["n_window"])
+    assert list(got["is_anomaly"]) == list(expected["is_anomaly"])

@@ -1,6 +1,7 @@
-"""Batch-27 behavior: running distinct-count against a Python recompute
-and ES weighted sampling against a from-scratch priority recompute
-(contract/surface20.py)."""
+"""Batch-27/28 behavior (contract/surface20.py + surface21.py):
+running distinct-count, priority-sampling keys, the JDBC round-trip,
+hashed TF, and linear-classifier inference — each against a from-scratch
+Python recompute."""
 
 from __future__ import annotations
 
@@ -39,7 +40,7 @@ def test_window_distinct_count_matches_python(spark, sf_oracle):
 
 
 def test_weighted_sample_matches_es_priorities(spark, sf_oracle):
-    """Bit-exact against the from-scratch Efraimidis–Spirakis priority
+    """Bit-exact against the from-scratch priority-sampling (u/w) key
     computation, k per language, heavier docs overrepresented relative
     to a uniform sample."""
     docs = load_table(spark, sf_oracle, "documents")
@@ -52,8 +53,7 @@ def test_weighted_sample_matches_es_priorities(spark, sf_oracle):
             ).hexdigest()[:8],
             16,
         )
-        u = (h + 1.0) / surface20._ES_DENOM
-        return int(math.floor(-math.log(u) / float(w) * 1e9))
+        return int(math.floor((h + 1.0) / float(w) * 1e9))
 
     by_lang: dict[str, list] = {}
     for r in rows:
