@@ -129,6 +129,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_distinct_count", "sample_weighted_hash", "join_spatial_grid",
     # batch-28: JDBC source round-trip + stateless feature hashing
     "scan_jdbc_roundtrip", "text_hashing_tf", "text_classifier_linear",
+    "agg_heavy_hitters",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",

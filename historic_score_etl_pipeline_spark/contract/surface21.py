@@ -226,10 +226,53 @@ FROM tf GROUP BY doc_id
 """
 
 
+# --- guaranteed heavy hitters (Misra–Gries candidates + exact verify) -------------
+
+_MG_K = 30  # below the 31-token vocabulary → the decrement step fires
+_MG_DENOM = 29  # threshold N/29 (valid: 29 < k+1)
+
+
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with frequency > N/29, found at sketch cost but EXACTLY
+    (operators/sketches.py::heavy_hitters_exact): per-partition
+    Misra–Gries summaries (k=30 counters) certify a candidate superset
+    of everything above N/(k+1); one candidate-pruned recount yields
+    exact counts.  Deterministic regardless of partitioning — the
+    superset varies, the verified thresholded output cannot — which is
+    what lets a sketch-based operator carry a value-hash oracle."""
+    from historic_score_etl_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    return heavy_hitters_exact(
+        toks, "tok", k=_MG_K, min_share_denom=_MG_DENOM
+    )
+
+
+AGG_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks CROSS JOIN tot
+GROUP BY tok, tot.n
+HAVING count(*) > tot.n // {_MG_DENOM}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scan_jdbc_roundtrip": QuerySpec(
         scan_jdbc_roundtrip, SCAN_JDBC_ROUNDTRIP_SQL
     ),
+    "agg_heavy_hitters": QuerySpec(agg_heavy_hitters, AGG_HEAVY_HITTERS_SQL),
     "text_hashing_tf": QuerySpec(text_hashing_tf, TEXT_HASHING_TF_SQL),
     "text_classifier_linear": QuerySpec(
         text_classifier_linear, TEXT_CLASSIFIER_LINEAR_SQL

@@ -171,3 +171,40 @@ def test_classifier_linear_matches_python_and_no_join(spark, sf_oracle):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Join" not in buf.getvalue()
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """Adversarial MG exercise: 1000 distinct items >> k=8 counters, one
+    item at 30% and one at 12% share — both must be found with EXACT
+    counts under any partitioning; nothing below the threshold may
+    appear (threshold share 1/8 > MG bound 1/9)."""
+    from historic_score_etl_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    rows = (
+        [("hot",)] * 600 + [("warm",)] * 240
+        + [(f"noise_{i % 1000}",) for i in range(1160)]
+    )
+    items = spark.createDataFrame(rows, "tok string").repartition(7)
+    got = {
+        r["tok"]: r["n"]
+        for r in heavy_hitters_exact(
+            items, "tok", k=8, min_share_denom=8
+        ).collect()
+    }
+    # N = 2000, threshold = 250 → hot (600) and warm(240)? 240 < 250 →
+    # only hot qualifies; noise items have ≤ 2 occurrences each
+    assert got == {"hot": 600}
+
+    got2 = {
+        r["tok"]: r["n"]
+        for r in heavy_hitters_exact(
+            items, "tok", k=8, min_share_denom=5
+        ).collect()
+    }
+    assert got2 == {"hot": 600}  # threshold 400
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(items, "tok", k=8, min_share_denom=9)
