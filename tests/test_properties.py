@@ -248,3 +248,51 @@ def test_spatial_neighbor_join_matches_brute_force(spark, case):
                 import math
                 expected[(i, j)] = int(math.floor(dsq * 1e12 + 0.5))
     assert got == expected
+
+
+@st.composite
+def _hitter_case(draw):
+    # skewed stream: a few hot items + uniform noise
+    hot = draw(st.lists(st.integers(50, 300), min_size=0, max_size=3))
+    n_noise = draw(st.integers(0, 300))
+    k = draw(st.sampled_from([4, 8, 16]))
+    denom = draw(st.sampled_from([3, 4]))
+    return hot, n_noise, k, denom
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_hitter_case())
+def test_heavy_hitters_match_exact_counts(spark, case):
+    """For any stream and any valid (k, denom), the output must equal
+    the exact thresholded counts — the MG candidate stage may vary with
+    partitioning, the verified output may not."""
+    from historic_score_etl_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    hot, n_noise, k, denom = case
+    if denom >= k + 1:
+        return  # invalid configs are covered by the ValueError test
+    rows = []
+    for i, c in enumerate(hot):
+        rows += [(f"hot_{i}",)] * c
+    rows += [(f"noise_{i % 37}",) for i in range(n_noise)]
+    if not rows:
+        return
+    items = spark.createDataFrame(rows, "tok string").repartition(5)
+    n = len(rows)
+    counts: dict[str, int] = {}
+    for (t,) in rows:
+        counts[t] = counts.get(t, 0) + 1
+    expected = {t: c for t, c in counts.items() if c > n // denom}
+    got = {
+        r["tok"]: r["n"]
+        for r in heavy_hitters_exact(
+            items, "tok", k=k, min_share_denom=denom
+        ).collect()
+    }
+    assert got == expected
