@@ -130,6 +130,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-28: JDBC source round-trip + stateless feature hashing
     "scan_jdbc_roundtrip", "text_hashing_tf", "text_classifier_linear",
     "agg_heavy_hitters",
+    # batch-22 / early round-3 keys (new this round) — pinned so each gets
+    # an external row in its first round of existence
+    "join_asof_nearest", "embed_quantize_int8", "sample_temperature",
+    "text_repetition",
     # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",
