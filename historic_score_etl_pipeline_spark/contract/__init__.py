@@ -129,7 +129,7 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_distinct_count", "sample_weighted_hash", "join_spatial_grid",
     # batch-28: JDBC source round-trip + stateless feature hashing
     "scan_jdbc_roundtrip", "text_hashing_tf", "text_classifier_linear",
-    "agg_heavy_hitters",
+    "agg_heavy_hitters", "scan_textfile",
     # batch-22 / early round-3 keys (new this round) — pinned so each gets
     # an external row in its first round of existence
     "join_asof_nearest", "embed_quantize_int8", "sample_temperature",

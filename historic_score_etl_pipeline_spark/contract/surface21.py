@@ -268,7 +268,61 @@ HAVING count(*) > tot.n // {_MG_DENOM}
 """
 
 
+# --- text-lines source -------------------------------------------------------------
+
+
+def _staged_text_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as tab-separated text LINES (idempotent
+    overwrite) — the rawest landing shape (log files, one record per
+    line)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"hsep_text_stage_{tag}")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+        ).alias("value")
+    )
+    docs.write.mode("overwrite").text(out)
+    return out
+
+
+def scan_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.text`` over staged tab-separated lines — the last
+    core reader in the source matrix (parquet/CSV/JSON/ORC/XML/JDBC/
+    binaryFile/custom DataSource/text).  Lines split back into typed
+    columns with an explicit limit-3 split (text may contain no tabs,
+    never inferred), then aggregated per lang; the oracle aggregates the
+    original parquet, so the hash match proves the line round-trip is
+    lossless — including every whitespace byte of ``text``."""
+    path = _staged_text_dir(spark, sf_dir)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = lines.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SCAN_TEXTFILE_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scan_textfile": QuerySpec(scan_textfile, SCAN_TEXTFILE_SQL),
     "scan_jdbc_roundtrip": QuerySpec(
         scan_jdbc_roundtrip, SCAN_JDBC_ROUNDTRIP_SQL
     ),
