@@ -434,3 +434,35 @@ def test_weighted_sample_uses_window_group_limit(spark, sf_oracle):
     plan = explain_str(sample_weighted_hash(spark, sf_oracle))
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_oracle, tmp_path):
+    """At 100 TB the fact table is date-partitioned and dim filters must
+    prune fact PARTITIONS at runtime (DPP) — a selective dim filter
+    becomes a dynamicpruning expression in the fact scan's
+    PartitionFilters, so unmatched ship_year directories are never
+    read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+    out = os.path.join(str(tmp_path), "li_by_year")
+    li = load_table(spark, sf_oracle, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_oracle, "orders")
+        .where(F.col("o_orderdate") >= "1997-01-01")
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .distinct()
+    )
+    joined = fact.join(dim, ["ship_year"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruning is real: only the dim's years survive
+    years = {r["ship_year"] for r in joined.select("ship_year").distinct().collect()}
+    assert years and all(y >= 1997 for y in years)
