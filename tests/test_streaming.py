@@ -385,3 +385,72 @@ def test_stream_zscore_survives_multi_chunk_groups(spark, tmp_path):
     )
     assert list(got["n_window"]) == list(expected["n_window"])
     assert list(got["is_anomaly"]) == list(expected["is_anomaly"])
+
+
+def test_watermark_drops_late_duplicates_across_batches(spark, tmp_path):
+    """Watermark semantics pinned: (a) rows sharing an event_id inside
+    one batch dedup to one output row; (b) a row arriving with event
+    time OLDER than the advanced watermark is dropped outright — neither
+    emitted nor deduped — which is exactly what bounds dropDuplicates
+    state to the horizon and lets streaming dedup run forever at 100 TB
+    (state is horizon-sized, not corpus-sized)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from historic_score_etl_pipeline_spark.streaming.jobs import (
+        read_events_stream, watermarked_dedup_stream,
+    )
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hr = dt.timedelta(hours=1)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # batch 0: original event at t0
+    pq.write_table(tbl([(1, t0, 7, "click", 1.0)]), str(landing / "p0.parquet"))
+    # batch 1: advance watermark far past t0 (+5h, horizon 1h), and
+    # include an in-horizon duplicate pair to show suppression works
+    pq.write_table(
+        tbl([
+            (2, t0 + 5 * hr, 8, "view", 2.0),
+            (2, t0 + 5 * hr, 8, "view", 2.0),  # same event_id → deduped
+        ]),
+        str(landing / "p1.parquet"),
+    )
+    # batch 2: the ORIGINAL event replayed — 5h older than the advanced
+    # watermark → dropped outright (the state-bounding contract)
+    pq.write_table(tbl([(1, t0, 7, "click", 1.0)]), str(landing / "p2.parquet"))
+
+    events = read_events_stream(spark, str(landing))
+    stream = watermarked_dedup_stream(events, watermark="1 hour")
+    import uuid as _uuid
+    name = f"q_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).toPandas()
+    # the same-batch duplicate was suppressed: user 8 appears once
+    assert (out["user_id"] == 8).sum() == 1
+    # the beyond-horizon replay was DROPPED: user 7 appears exactly once
+    # (from batch 0) — horizon-bounded state, the price of running forever
+    assert (out["user_id"] == 7).sum() == 1
+    assert len(out) == 2
