@@ -1,0 +1,72 @@
+"""Shared staging-directory discipline for contract queries that land
+fixture data in a non-parquet shape before scanning it back.
+
+Two rules, both learned from review findings (ADVICE r3):
+
+* **App-scoped paths.** A shared /tmp path with non-atomic
+  ``mode("overwrite")`` lets two concurrent sessions (pytest +
+  run_parity, hostile + normal — explicitly supported) race: one session
+  reads a partially committed landing dir and silently aggregates fewer
+  rows (a transient hash-fail) or errors mid-scan.  Scoping by Spark
+  applicationId makes every staging dir single-writer; dirs are written
+  once then only read.
+
+* **Deep-mtime reaping.** App-scoped dirs are never reused, so stale
+  siblings are deleted after 6 h of inactivity to keep /tmp bounded.
+  Liveness is judged by the most recent mtime anywhere UNDER the dir —
+  the top-level mtime is not refreshed by nested writes (Derby
+  touches only nested files after creation), so a root-mtime rule
+  would reap a live 7-hour session's in-use database.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+_REAP_AFTER_SECS = 6 * 3600
+
+
+def tree_mtime(path: str) -> float:
+    """Most recent mtime anywhere under ``path`` (0.0 if unreadable)."""
+    try:
+        latest = os.path.getmtime(path)
+    except OSError:
+        return 0.0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            try:
+                latest = max(latest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                continue
+    return latest
+
+
+def reap_stale_siblings(base: str, prefix: str, keep: str) -> None:
+    """Delete sibling staging dirs idle (by deep tree mtime) > 6 h."""
+    cutoff = time.time() - _REAP_AFTER_SECS
+    try:
+        siblings = os.listdir(base)
+    except OSError:
+        return
+    for d in siblings:
+        if d.startswith(prefix) and d != keep:
+            full = os.path.join(base, d)
+            if tree_mtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+
+
+def app_scoped_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Per-(kind, scale, application) staging path; reaps stale siblings
+    of the same kind+scale on the way.  The dir itself is NOT created —
+    Spark writers create it."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = tempfile.gettempdir()
+    out = os.path.join(base, f"hsep_{kind}_stage_{tag}_{app}")
+    reap_stale_siblings(base, f"hsep_{kind}_stage_{tag}_", os.path.basename(out))
+    return out

@@ -307,13 +307,16 @@ _FMT_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 
 
 def _staged_format_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Stage orders into a CSV/JSON landing dir (idempotent overwrite) —
-    the engine's non-parquet ingest path, exercised end-to-end."""
-    import os
-    import tempfile
+    """Stage orders into a CSV/JSON landing dir — the engine's
+    non-parquet ingest path, exercised end-to-end.  App-scoped via
+    _staging.py: a shared path with non-atomic mode('overwrite') would
+    let a concurrent session read a partially committed landing dir
+    (same race class as the ADVICE-r3 text-stage finding)."""
+    from historic_score_etl_pipeline_spark.contract._staging import (
+        app_scoped_dir,
+    )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"hsep_{fmt}_stage_{tag}")
+    out = app_scoped_dir(spark, fmt, sf_dir)
     df = load_table(spark, sf_dir, "orders").select(*_FMT_COLS)
     writer = df.write.mode("overwrite")
     if fmt == "csv":

@@ -24,14 +24,24 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::quantize_int8).  Expression-level
     transform/array_max — one projection, zero shuffles; the oracle
     recomputes every code in SQL, so quantized codes are value-exact
-    across engines."""
+    across engines.
+
+    Round-4 repair (CORRECTNESS_r03 `unhashable type: 'list'`): the
+    codes array is CSV-encoded into one string column so the driver's
+    pandas ``sort_values`` canonicalizer can hash the result — the
+    driver contract is effectively scalar-columns-only, now enforced by
+    the local gate (testing.py)."""
     from historic_score_etl_pipeline_spark.operators.similarity import (
         quantize_int8,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "embedding").select(
-        "vec_id", "q_scale_r6", "q_codes"
+        "vec_id",
+        "q_scale_r6",
+        F.concat_ws(
+            ",", F.transform(F.col("q_codes"), lambda x: x.cast("string"))
+        ).alias("q_codes_csv"),
     )
 
 
@@ -45,12 +55,13 @@ WITH scaled AS (
 )
 SELECT vec_id,
        round(scale, 6) AS q_scale_r6,
-       CASE WHEN scale > 0
-            THEN list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
-                      AS INTEGER))
-            ELSE list_transform(embedding, x -> 0)
-       END AS q_codes
+       array_to_string(
+           CASE WHEN scale > 0
+                THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                          AS INTEGER))
+                ELSE list_transform(embedding, x -> 0)
+           END, ',') AS q_codes_csv
 FROM scaled
 """
 

@@ -196,7 +196,18 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's token distribution in integer
     micro-nats (operators/text.py::token_entropy) — the gibberish /
     degenerate-repetition filter signal; every ln term is fixed-pointed
-    before summation so the oracle hash has no float surface."""
+    before summation so the summation ORDER has no float surface.
+
+    Residual cross-engine risk (same class as ``text_bigram_surprisal``,
+    surface20.py:105): the per-term fixpoint floor((c/n)·ln(n/c)·1e6+0.5)
+    still calls each engine's libm ``ln``, and JVM StrictMath vs glibc
+    differ by 1 ulp on ~1% of inputs (measured in review) — a term whose
+    scaled value lands within ~1e-10 of a .5 boundary can round to a
+    different unat and break the hash.  Never observed at sf0.01/0.1
+    (the driver's scales); increasingly likely over millions of distinct
+    (c, n) pairs.  A correctly-rounded integer-only formulation would
+    need a fixed-point ln — out of scope while the observed failure rate
+    is zero (ADVICE r3, acknowledged)."""
     from historic_score_etl_pipeline_spark.operators.text import token_entropy
 
     docs = load_table(spark, sf_dir, "documents")

@@ -46,9 +46,13 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_type = Window.partitionBy("user_id").orderBy(
         "event_type", "ts_us", "event_id"
     )
+    # null-SAFE inequality (~eqNullSafe) to mirror the oracle's
+    # IS DISTINCT FROM: with lag != col, a NULL event_type would yield a
+    # NULL flag (summed as 0) on Spark but count as one distinct type in
+    # DuckDB — silent divergence if the schema ever admits nulls
+    # (ADVICE r3).
     first_flag = (
-        F.lag("event_type").over(w_type).isNull()
-        | (F.lag("event_type").over(w_type) != F.col("event_type"))
+        ~F.lag("event_type").over(w_type).eqNullSafe(F.col("event_type"))
     ).cast("long")
     w_time = (
         Window.partitionBy("user_id")

@@ -35,28 +35,21 @@ def _staged_jdbc_url(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    from historic_score_etl_pipeline_spark.contract._staging import (
+        reap_stale_siblings,
+    )
+
     # embedded Derby permits ONE JVM per database directory — scope the
     # path by Spark application id so concurrent sessions (pytest +
-    # run_parity, hostile + normal) never collide on the boot lock
+    # run_parity, hostile + normal) never collide on the boot lock;
+    # stale siblings are reaped on the shared deep-mtime liveness rule
+    # (_staging.py — root mtime alone would reap a live Derby DB,
+    # ADVICE r3)
     tag = os.path.basename(sf_dir.rstrip("/"))
     app = spark.sparkContext.applicationId
     base = tempfile.gettempdir()
     db_dir = os.path.join(base, f"hsep_jdbc_{tag}_{app}")
-    # app-scoped dirs are never reused — reap siblings older than 6 h so
-    # repeated sessions don't grow /tmp unboundedly (age guard keeps a
-    # LIVE concurrent session's database safe)
-    import shutil
-    import time
-
-    cutoff = time.time() - 6 * 3600
-    for d in os.listdir(base):
-        if d.startswith(f"hsep_jdbc_{tag}_") and d != os.path.basename(db_dir):
-            full = os.path.join(base, d)
-            try:
-                if os.path.getmtime(full) < cutoff:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass
+    reap_stale_siblings(base, f"hsep_jdbc_{tag}_", os.path.basename(db_dir))
     url = f"jdbc:derby:{db_dir};create=true"
     df = (
         load_table(spark, sf_dir, "orders")
@@ -272,14 +265,20 @@ HAVING count(*) > tot.n // {_MG_DENOM}
 
 
 def _staged_text_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage documents as tab-separated text LINES (idempotent
-    overwrite) — the rawest landing shape (log files, one record per
-    line)."""
-    import os
-    import tempfile
+    """Stage documents as tab-separated text LINES — the rawest landing
+    shape (log files, one record per line).
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"hsep_text_stage_{tag}")
+    Scoped by Spark applicationId (ADVICE r3): a shared path with
+    non-atomic mode('overwrite') would let two concurrent sessions
+    (pytest + run_parity, explicitly supported) race — one reading a
+    partially committed landing dir and silently aggregating fewer rows.
+    Per-app dirs are written once then only read; stale siblings are
+    reaped on the same deep-mtime liveness rule as the Derby staging."""
+    from historic_score_etl_pipeline_spark.contract._staging import (
+        app_scoped_dir,
+    )
+
+    out = app_scoped_dir(spark, "text", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         F.concat_ws(
             "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")

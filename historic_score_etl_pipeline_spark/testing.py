@@ -139,6 +139,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Par
         )
     for c in sc:
         sk, ok_ = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+        # Driver contract is scalar-columns-only: its canonicalizer sorts
+        # with pandas sort_values, which crashes on unhashable list/dict
+        # cells (CORRECTNESS_r03 embed_quantize_int8).  The local gate
+        # must be at least as strict as the driver, so raw array/map/
+        # struct outputs on an oracle-checked query are a hard FAIL —
+        # encode them (to_json / concat_ws) or explode to long format.
+        if sk in ("list", "dict") or ok_ in ("list", "dict"):
+            return ParityResult(
+                name,
+                False,
+                f"column '{c}' is a raw {sk if sk in ('list', 'dict') else ok_} "
+                f"— the driver's hash canonicalizer cannot sort unhashable "
+                f"cells; emit a string encoding (concat_ws/to_json) or "
+                f"explode to long format",
+            )
         if sk != ok_ and "empty" not in (sk, ok_):
             return ParityResult(
                 name,

@@ -85,6 +85,39 @@ def test_compare_rejects_hugeint_dtype_drift():
     assert not compare("hugeint_obj", spark_pdf, as_obj).ok
 
 
+def test_compare_rejects_raw_array_output():
+    """The driver's canonicalizer sorts with pandas sort_values, which
+    crashes on unhashable list cells (CORRECTNESS_r03
+    embed_quantize_int8).  The local gate must therefore reject an
+    oracle-checked result carrying a raw array/map column even when both
+    engines agree value-for-value — the driver would crash, not pass."""
+    import pandas as pd
+
+    with_list = pd.DataFrame({"k": ["a", "b"], "codes": [[1, 2], [3]]})
+    r = compare("raw_array", with_list, with_list.copy())
+    assert not r.ok and "raw list" in r.detail
+    with_map = pd.DataFrame({"k": ["a"], "m": [{"x": 1}]})
+    r2 = compare("raw_map", with_map, with_map.copy())
+    assert not r2.ok and "raw dict" in r2.detail
+
+
+def test_no_oracled_query_emits_raw_nested_columns(spark, sf_oracle):
+    """Registry-wide schema scan: every oracle-checked query must emit
+    scalar top-level columns only (the driver-hash contract).  Catches
+    the next embed_quantize_int8 at authoring time without running the
+    full parity suite."""
+    from pyspark.sql import types as T
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    offenders = []
+    for name in oracles:
+        schema = qs[name](spark, sf_oracle).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 def test_compare_rejects_live_uncast_duckdb_sum():
     """End-to-end: an oracle written without CAST(sum(...) AS BIGINT)
     must fail compare() against an int64 Spark result."""
