@@ -58,6 +58,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface19,
         surface20,
         surface21,
+        surface22,
         windows,
     )
 
@@ -89,6 +90,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface19,
         surface20,
         surface21,
+        surface22,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -160,6 +162,13 @@ _ROUND_HEAD: tuple[str, ...] = (
     # an out-of-band parity run in round 1 and stay covered by run_parity)
     "text_pack_shards", "text_pii_redact", "dedup_contamination",
     "sample_stratified_hash", "shuffle_shard_pos",
+    # batch-29 (new in round 4) — pinned so each gets an external row in
+    # its first round of existence; with the 40 never-verified keys above
+    # these fill the head-50 exactly
+    "parse_token_records_h2h", "agg_countmin_sketch",
+    "event_markov_transitions", "anomaly_mad_robust", "scan_rowgroup_prune",
+    "window_gap_islands", "dedup_latest_snapshot", "sample_train_test_split",
+    "window_pareto_share", "scan_schema_evolution",
 )
 
 # Externally verified green in round 1 (CORRECTNESS_r01.json: hash_match or
