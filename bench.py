@@ -54,6 +54,14 @@ HEADLINE = [
     "dedup_decontaminate_13gram",  # gram explosion + broadcast eval probe (r3)
     "join_interval_overlap",  # bin-replicated large×large equi join (r3)
     "anomaly_zscore_rolling",  # count/sum/sumsq one-Window frame (r3)
+    "graph_pagerank",       # 3 unrolled integer PR rounds over co-order graph (r4)
+    "graph_triangle_count",  # degree-oriented wedge close, O(m^1.5) (r4)
+    "window_distinct_count",  # two sorted passes over one user shuffle (r4)
+    "join_spatial_grid",    # grid-bucketed spatial equi-join (r4)
+    "text_bigram_surprisal",  # bigram LM surprisal, fixpointed ln (r4)
+    "parse_token_records_h2h",  # greedy-fold record parser, zero shuffles (r4)
+    "agg_countmin_sketch",  # 4x explode + 256-cell mergeable sketch (r4)
+    "dedup_latest_snapshot",  # WindowGroupLimit rank-1 per key (r4)
 ]
 
 

@@ -203,7 +203,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle once with O(m^1.5) total work — the graph-analytics
     complement to connected components.  The 1-row output crossJoins
     three scalar aggregates (documented-allowed broadcast of single
-    rows).  Oracle is the naive id-ordered 3-way self-join."""
+    rows).  The oracle mirrors the SAME degree-ordered orientation
+    (round-4 fix: the earlier naive id-ordered 3-way self-join was
+    O(Σdeg²) and timed out the sf0.1 cross-scale sweep)."""
     from historic_score_etl_pipeline_spark.operators.graph import (
         triangle_count,
     )
@@ -228,17 +230,32 @@ WITH e AS (
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-nodes AS (
-  SELECT count(DISTINCT n) AS n_nodes
-  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN d1.deg < d2.deg
+                OR (d1.deg = d2.deg AND e.u < e.v) THEN e.u ELSE e.v END AS x,
+         CASE WHEN d1.deg < d2.deg
+                OR (d1.deg = d2.deg AND e.u < e.v) THEN e.v ELSE e.u END AS y
+  FROM e JOIN deg d1 ON e.u = d1.node
+         JOIN deg d2 ON e.v = d2.node
+),
+wedges AS (
+  SELECT o1.x, o1.y, o2.y AS z
+  FROM oriented o1 JOIN oriented o2 ON o1.y = o2.x
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.x = w.x AND o.y = w.z)
 )
-SELECT CAST(nodes.n_nodes AS BIGINT) AS n_nodes,
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
-       CAST((SELECT count(*)
-             FROM e ab JOIN e bc ON ab.v = bc.u
-                       JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
-            AS BIGINT) AS n_triangles
-FROM nodes
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+FROM tri
 """
 
 

@@ -311,6 +311,89 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     )
 
 
+def test_incremental_dedup_crash_window_replay_exact(spark, tmp_path):
+    """The EXACT crash window (VERDICT r3 ask #7): the foreachBatch body
+    completed — index AND flagged partitions for the last batch are on
+    disk — but the streaming checkpoint COMMIT was never recorded.  That
+    state is reproduced faithfully by deleting only the newest
+    ``ckpt/commits/<epoch>`` file (offsets intact): on restart Spark
+    replays exactly that one batch against an index that already
+    contains its own buckets.  The strictly-earlier-batch probe
+    (streaming/jobs.py::process_batch) must make the replay reproduce
+    the original flagged rows EXACTLY — no self-pairs, nothing added,
+    nothing lost."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from historic_score_etl_pipeline_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "work")
+
+    t_dup = "spark shuffles partition data across the cluster by key hash"
+    t_dup2 = "adaptive query execution replans stages from runtime statistics"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [t_dup, t_dup2]}),
+        landing / "b1.parquet",
+    )
+    _time.sleep(1.1)
+    pq.write_table(
+        pa.table(
+            {"doc_id": [10, 11], "text": [t_dup, "totally unrelated referee words"]}
+        ),
+        landing / "b2.parquet",
+    )
+    _time.sleep(1.1)
+    # last batch contains BOTH a cross-batch dup and an intra-batch dup,
+    # so the replay must reproduce both probe paths
+    pq.write_table(
+        pa.table({"doc_id": [20, 21], "text": [t_dup2, t_dup2]}),
+        landing / "b3.parquet",
+    )
+
+    run_incremental_dedup(spark, str(landing), work)
+
+    def _flagged_rows() -> list[tuple]:
+        return sorted(
+            (r["new_id"], r["existing_id"])
+            for r in spark.read.parquet(f"{work}/flagged").collect()
+        )
+
+    baseline = _flagged_rows()
+    assert (10, 1) in baseline and (20, 2) in baseline and (21, 20) in baseline
+
+    commits = _os.path.join(work, "ckpt", "commits")
+    epochs = sorted(
+        (f for f in _os.listdir(commits) if f.isdigit()), key=int
+    )
+    assert len(epochs) >= 3  # one per landing file (maxFilesPerTrigger=1)
+    # the crash: batch executed, commit never written (a real crash
+    # leaves neither the commit file NOR its Hadoop ChecksumFs .crc
+    # sibling — removing only the visible file fails the later atomic
+    # rename with FileAlreadyExistsException on the stale .crc)
+    _os.remove(_os.path.join(commits, epochs[-1]))
+    crc = _os.path.join(commits, f".{epochs[-1]}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    index_parts_before = sorted(_os.listdir(_os.path.join(work, "index")))
+
+    run_incremental_dedup(spark, str(landing), work)
+
+    assert _flagged_rows() == baseline
+    # the replayed batch overwrote its own partitions — no new ones
+    assert sorted(_os.listdir(_os.path.join(work, "index"))) == index_parts_before
+    # and the commit is healed for the next restart
+    assert sorted(
+        (f for f in _os.listdir(commits) if f.isdigit()), key=int
+    ) == epochs
+
+
 def test_stream_zscore_matches_batch_operator(spark, tmp_path):
     """Differential: the stateful streaming z-score must produce exactly
     the batch operator's flags when the source replays in event-time
