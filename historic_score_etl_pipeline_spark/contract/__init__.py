@@ -59,6 +59,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface20,
         surface21,
         surface22,
+        surface23,
         windows,
     )
 
@@ -91,6 +92,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface20,
         surface21,
         surface22,
+        surface23,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
