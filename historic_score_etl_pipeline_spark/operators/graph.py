@@ -187,6 +187,14 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # The normalized edge list feeds FOUR consumers (degree table,
+        # orientation, edge count, node count); without pinning, the
+        # upstream edge construction (for the co-order graph: a
+        # lineitem⋈lineitem self-join + distinct) re-executes for each.
+        # localCheckpoint materializes the O(m) rows once — the same
+        # edge-list caching every iterative graph system does
+        # (GraphX/Pregel pin the edge RDD for exactly this reason).
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -194,32 +202,55 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # deg is |V| rows (node, count) — a dim table next to the O(m) edge
+    # list: broadcast both degree joins so e never shuffles for them.
     with_deg = (
-        e.join(deg.withColumnRenamed("node", "u"), "u")
+        e.join(F.broadcast(deg.withColumnRenamed("node", "u")), "u")
         .withColumnRenamed("deg", "du")
         .join(
-            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            F.broadcast(
+                deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+            ),
             "v",
         )
     )
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Three consumers (both wedge sides + the closing probe) — pin the
+    # O(m) oriented rows so the degree join runs once, not three times.
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    ).localCheckpoint()
+    # The wedge join FANS OUT ~40× (m rows in, Σ outdeg² rows out) — AQE
+    # sizes its shuffle from the small INPUT and would coalesce to a
+    # handful of tasks, serializing the expensive stage.  An explicit
+    # repartition by the join key pins the parallelism to the cluster
+    # (AQE honors user-specified partition counts), and since it matches
+    # the join's required hashpartitioning(y) it adds NO extra shuffle.
+    n_part = max(32, 2 * e.sparkSession.sparkContext.defaultParallelism)
+    wedges = (
+        oriented.repartition(n_part, "y")
+        .alias("o1")
+        .join(
+            oriented.select(F.col("x").alias("y"), F.col("y").alias("z"))
+            .repartition(n_part, "y")
+            .alias("o2"),
+            "y",
+        )
+        .select("x", "y", "z")
     )
-    wedges = oriented.alias("o1").join(
-        oriented.select(
-            F.col("x").alias("y"), F.col("y").alias("z")
-        ).alias("o2"),
-        "y",
-    ).select("x", "y", "z")
-    closed = wedges.join(
-        oriented.select(F.col("x"), F.col("y").alias("z")),
-        ["x", "z"],
-        "left_semi",
-    )
+    # Closing probe: the right side is the O(m) oriented list itself.
+    # Broadcasting it keeps the Σ outdeg² wedge rows from shuffling AGAIN
+    # (they are ~40× the edge list) — valid while m is broadcast-sized;
+    # beyond the threshold fall back to the partitioned semi join, which
+    # reuses the wedge stage's (x,z)-compatible layout.  Same adaptive
+    # small/large split as connected_components' union-find hybrid.
+    close_right = oriented.select(F.col("x"), F.col("y").alias("z"))
+    if e.count() <= 4_000_000:  # e is pinned — the count is a cheap scan
+        close_right = F.broadcast(close_right)
+    closed = wedges.join(close_right, ["x", "z"], "left_semi")
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_edges = e.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_tri = closed.agg(F.count(F.lit(1)).alias("n")).select("n")
@@ -261,9 +292,10 @@ def pagerank_integer(
     Scale shape: each iteration is one equi-join of the edge list with
     the |V|-row rank table on the source node plus one sum keyed on the
     destination — two hash shuffles per round, no broadcast of anything
-    graph-sized, no driver state (N is computed once).  ``iters`` is
-    fixed (the analytics use-case: a few refinement rounds), so the
-    lineage stays shallow without checkpointing.
+    graph-sized, no driver state (N is computed once).  The edge table
+    and each round's rank table are lineage-pinned (localCheckpoint), so
+    total work is LINEAR in ``iters`` and the edge construction runs
+    exactly once — see the inline note.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
@@ -275,7 +307,15 @@ def pagerank_integer(
     base = ((PAGERANK_SCALE * (100 - damping_pct)) // 100) // n
     r0 = PAGERANK_SCALE // n
     ranks = outd.select("u", F.lit(r0).cast("long").alias("r"))
-    ew = e.join(outd, "u")  # (u, v, outd) — reused every round
+    # (u, v, outd) is joined against the rank table EVERY round: pin it
+    # once (localCheckpoint) so the upstream edge construction — for the
+    # co-order graph a lineitem⋈lineitem self-join + distinct — never
+    # re-executes per iteration.  Each round's rank table is pinned too,
+    # keeping total work linear in `iters` (unpinned, round k replays
+    # rounds 1..k-1: quadratic recompute).  This is the standard
+    # iterative-graph pattern (GraphX/Pregel cache edges + checkpoint
+    # the per-round vertex state).
+    ew = e.join(outd, "u").localCheckpoint()
     for _ in range(iters):
         contrib = (
             ew.join(ranks, "u")
@@ -289,7 +329,7 @@ def pagerank_integer(
         ranks = contrib.select(
             F.col("v").alias("u"),
             (F.lit(base) + F.col("acc")).cast("long").alias("r"),
-        )
+        ).localCheckpoint()
     return ranks.select(
         F.col("u").alias("node"), F.col("r").alias("rank_units")
     )
