@@ -60,6 +60,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface21,
         surface22,
         surface23,
+        surface24,
         windows,
     )
 
@@ -93,6 +94,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface21,
         surface22,
         surface23,
+        surface24,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -287,15 +287,67 @@ WHERE rank <= 5
 """
 
 
-# --- K3b: IVF-bucketed approximate top-k (rows-only) ----------------------
+# --- K3b: IVF-bucketed approximate top-k ----------------------------------
 
 def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-cell approximate top-5 — scans ~n_probe/n_cells of the
-    corpus.  Approximate → rows-only; recall vs. brute force asserted in
-    tests/test_similarity.py."""
+    corpus.  "Approximate" here means approximate RECALL vs brute force
+    (asserted ≥0.6 in tests/test_similarity.py), NOT non-determinism:
+    the sign-pattern quantizer and Hamming-1 probe set are pure
+    functions of the data, so the result has a full value-hash oracle
+    (upgraded from rows-only in round 4 — the SQL twin replays the same
+    cells, probes, and ranking)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id").isin(0, 1, 2))
-    return ivf_topk(emb, queries, "vec_id", "vec_id", k=5)
+    out = ivf_topk(emb, queries, "vec_id", "vec_id", k=5)
+    return out.select(
+        "query_id", "rank", "corpus_id", F.round("cos", 4).alias("cos4")
+    )
+
+
+# cells = sign pattern of dims 1..4 (bit i set iff dim i+1 > 0); probe set
+# = own cell + first (n_probe-1)=3 single-bit flips — the exact slice the
+# Spark operator takes (operators/similarity.py::ivf_topk).
+SIM_TOPK_COSINE_IVF_SQL = """
+WITH c AS (
+  SELECT vec_id AS corpus_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings
+), ccell AS (
+  SELECT corpus_id, cvec,
+         (CASE WHEN cvec[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN cvec[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN cvec[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN cvec[4] > 0 THEN 8 ELSE 0 END) AS cell
+  FROM c
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), qcell AS (
+  SELECT query_id, qvec,
+         (CASE WHEN qvec[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN qvec[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN qvec[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN qvec[4] > 0 THEN 8 ELSE 0 END) AS cell
+  FROM q
+), probes AS (
+  SELECT query_id, qvec,
+         unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4)]) AS cell
+  FROM qcell
+), scored AS (
+  SELECT p.query_id, cc.corpus_id,
+         round(list_cosine_similarity(p.qvec, cc.cvec), 6) AS cos
+  FROM probes p JOIN ccell cc ON cc.cell = p.cell
+  WHERE cc.corpus_id <> p.query_id
+)
+SELECT query_id, rank, corpus_id, round(cos, 4) AS cos4
+FROM (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, corpus_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
 
 
 def sim_topk_cosine_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,7 +626,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embed_cosine": QuerySpec(dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
     "sim_topk_cosine": QuerySpec(sim_topk_cosine, SIM_TOPK_COSINE_SQL),
-    "sim_topk_cosine_ivf": QuerySpec(sim_topk_cosine_ivf, None),
+    "sim_topk_cosine_ivf": QuerySpec(
+        sim_topk_cosine_ivf, SIM_TOPK_COSINE_IVF_SQL
+    ),
     "sim_topk_cosine_ivf_trained": QuerySpec(sim_topk_cosine_ivf_trained, None),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL),
