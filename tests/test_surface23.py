@@ -244,6 +244,46 @@ def test_except_all_is_multiset_difference(spark, sf_oracle):
     assert any(n > 1 for n in got.values())
 
 
+def test_batch2930_shuffle_budgets(spark, sf_oracle):
+    """Pin each new query's exchange/window count — the shuffle budget
+    that must survive a 100× scale-up.  Counts use the numbered plan
+    nodes (formatted explain repeats nodes in its detail section)."""
+    import re
+
+    from historic_score_etl_pipeline_spark.contract import surface22
+
+    def counts(df):
+        plan = _formatted_plan(df)
+        return (
+            len(re.findall(r"\(\d+\) Exchange", plan)),
+            len(re.findall(r"\(\d+\) Window", plan)),
+        )
+
+    budgets = {
+        # one map-side-combined shuffle; the sketch table is tiny
+        surface22.agg_countmin_sketch: (1, 0),
+        # all ten sufficient statistics in ONE grouped pass
+        surface23.agg_corr_matrix: (1, 0),
+        # both windows (cumulative + total) share the lang partitioning
+        surface22.window_pareto_share: (1, 2),
+        # cume_dist + dense_rank share one Window exec
+        surface23.window_cume_dist: (1, 1),
+        # min/max/sum/count frames share one Window exec
+        surface23.window_rolling_minmax: (1, 1),
+        # strictly-preceding carry: one user shuffle, one sorted pass
+        surface23.event_attribution_last_touch: (1, 1),
+        # distinct(user, day) + user-keyed window/aggs: two shuffles
+        surface22.window_gap_islands: (2, 1),
+        # user-mask agg + <=2^5-row histogram: two tiny-reduce shuffles
+        surface23.agg_bitmask_states: (2, 0),
+        # lead window (user) + pair agg + src-share window
+        surface22.event_markov_transitions: (3, 2),
+    }
+    for fn, (want_ex, want_win) in budgets.items():
+        got = counts(fn(spark, sf_oracle))
+        assert got == (want_ex, want_win), (fn.__name__, got)
+
+
 def test_attribution_matches_python(spark, sf_oracle):
     ev = load_table(spark, sf_oracle, "events")
     rows = ev.select(
