@@ -61,6 +61,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface22,
         surface23,
         surface24,
+        surface25,
         windows,
     )
 
@@ -95,6 +96,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface22,
         surface23,
         surface24,
+        surface25,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -7,6 +7,7 @@ from historic_score_etl_pipeline_spark.streaming.jobs import (
     sessionized_stream,
     stateful_sessionizer_stream,
     stateful_user_totals_stream,
+    dedup_within_watermark_stream,
     watermarked_dedup_stream,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "sessionized_stream",
     "stateful_sessionizer_stream",
     "stateful_user_totals_stream",
+    "dedup_within_watermark_stream",
     "watermarked_dedup_stream",
 ]

@@ -161,6 +161,24 @@ def watermarked_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> Da
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state dedup via ``dropDuplicatesWithinWatermark`` (Spark
+    3.5+): unlike plain watermark + dropDuplicates — whose per-key state
+    lives until the key's OWN event-time watermark expires it — this
+    guarantees eviction once the watermark passes the FIRST sighting,
+    so state is strictly bounded by (throughput × watermark) regardless
+    of key cardinality.  The trade: a duplicate arriving after the
+    watermark window re-emits (at-least-once per window), which is the
+    documented contract — downstream idempotent sinks absorb it.  THE
+    state-size story at 100 TB: unbounded distinct keys no longer mean
+    unbounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """I4: session windows with an inactivity gap (the streaming twin of
     the batch gaps-and-islands query stream_session_gap)."""
