@@ -62,6 +62,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface23,
         surface24,
         surface25,
+        surface26,
         windows,
     )
 
@@ -97,6 +98,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface23,
         surface24,
         surface25,
+        surface26,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
