@@ -63,6 +63,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface24,
         surface25,
         surface26,
+        surface27,
         windows,
     )
 
@@ -99,6 +100,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface24,
         surface25,
         surface26,
+        surface27,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
