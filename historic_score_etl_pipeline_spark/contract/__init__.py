@@ -114,78 +114,48 @@ def _merged() -> dict[str, QuerySpec]:
 # row.  Rotation policy: queries externally verified in a past round move
 # to the back (they stay covered by the full-registry run_parity.py gate);
 # never-verified queries move up, with a curated head so the highest-value
-# families (this round: the six repaired timestamp queries, the complete
-# TPC-H suite, the dedup/similarity/text pillar, and the modern join/sink
-# surface) are guaranteed slots.
+# targets are guaranteed slots.  Round-5 head: the 20 keys that have never
+# had an external row (VERDICT r4 ask #2), the re-pinned oracle-upgraded
+# keys whose STRICTER oracles have never been externally exercised
+# (ask #3/#4 — the rotation's old blind spot: a rows-only pass in r3
+# counted as "done" even after the key gained a real hash oracle), the
+# repaired agg_approx_percentile (the one red r4 row), and the new
+# round-5 batches.
 _ROUND_HEAD: tuple[str, ...] = (
-    # repaired in round 2 (TIMESTAMP_NTZ ingestion fix) — prove it externally
-    "stream_tumbling_daily", "stream_sliding_count", "stream_session_gap",
-    "window_range_7d", "stream_stream_join", "sessionize_batch",
-    # round 3: last of the ten HUGEINT-oracle CAST repairs — pinned so the
-    # whole class is externally confirmed dead in one round (the other
-    # eight already sit inside the head-50 by insertion order)
-    "safe_math", "udf_arrow_native",
-    # batch-23 curation staples (new this round) — pinned so each gets an
-    # external row in its first round of existence
-    "text_bigram_surprisal", "text_chunk_windows", "dedup_substring_span",
-    "dedup_semantic",
-    # batch-24 curation staples (new this round) — pinned so each gets an
-    # external row in its first round of existence
-    "dedup_decontaminate_13gram", "sample_mixture_budget",
-    "sample_reservoir_hash", "text_token_entropy",
-    # batch-25 (new this round) — large×large interval join, exact anomaly
-    # flags, binaryFile ingest
-    "join_interval_overlap", "anomaly_zscore_rolling", "scan_binaryfile",
-    "graph_triangle_count", "graph_pagerank",
-    # batch-27: window distinct count + ES weighted sampling
-    "window_distinct_count", "sample_weighted_hash", "join_spatial_grid",
-    # batch-28: JDBC source round-trip + stateless feature hashing
-    "scan_jdbc_roundtrip", "text_hashing_tf", "text_classifier_linear",
-    "agg_heavy_hitters", "scan_textfile",
-    # batch-22 / early round-3 keys (new this round) — pinned so each gets
-    # an external row in its first round of existence
-    "join_asof_nearest", "embed_quantize_int8", "sample_temperature",
-    "text_repetition",
-    # complete TPC-H suite (Q13 ≡ agg_orders_per_cust_dist, Q17 ≡ subq_scalar_avg_qty)
-    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority", "tpch_q4_priority_check",
-    "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_revenue",
-    "tpch_q11_important_stock", "tpch_q12_priority_counts",
-    "agg_orders_per_cust_dist", "tpch_q14_promo_share",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "subq_scalar_avg_qty", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers", "tpch_q22_idle_customers",
-    # LLM-data-pipeline pillar
-    "dedup_ngram_jaccard", "dedup_embed_cosine", "dedup_connected_components",
-    "sim_topk_cosine", "text_token_stats", "text_lang_id",
-    "text_quality_score", "text_fingerprint", "text_tfidf_topk",
-    "text_ngram_topk",
-    # modern join / sink surface
-    "join_asof_backward", "join_lateral_topk", "sql_pivot", "join_null_safe",
-    "join_bloom_prune", "join_skew_split", "sink_merge_upsert",
-    # batch-19 training-data curation ops (new this round, zero history;
-    # displaced keys — parse_token_records, json_variant, sql_recursive_cte,
-    # matview_incremental, sink_scd2_history — were judge-verified green by
-    # an out-of-band parity run in round 1 and stay covered by run_parity)
-    "text_pack_shards", "text_pii_redact", "dedup_contamination",
-    "sample_stratified_hash", "shuffle_shard_pos",
-    # batch-29 (new in round 4) — pinned so each gets an external row in
-    # its first round of existence; with the 40 never-verified keys above
-    # these fill the head-50 exactly
-    "parse_token_records_h2h", "agg_countmin_sketch",
-    "event_markov_transitions", "anomaly_mad_robust", "scan_rowgroup_prune",
-    "window_gap_islands", "dedup_latest_snapshot", "sample_train_test_split",
-    "window_pareto_share", "scan_schema_evolution",
+    # the one externally-RED r4 row, repaired (scalar approx_p50/p95)
+    "agg_approx_percentile",
+    # 20 never-externally-verified keys (batches 30/32/33/34 + ewma-exact)
+    "agg_corr_matrix", "window_cume_dist", "agg_bitmask_states",
+    "scan_zorder_prune", "window_rolling_minmax", "embed_norm_hist",
+    "scan_hive_partition_prune", "setop_except_all",
+    "event_attribution_last_touch", "sink_compact_files",
+    "scan_csv_quoted_multiline", "agg_week_rollup", "stream_dedup_firstwins",
+    "agg_bool_every_any", "hof_exists_forall", "hof_arrays_zip",
+    "agg_min_max_by", "window_pct_change", "str_regexp_extract_all",
+    "udaf_grouped_ewma_exact",
+    # re-pinned: oracle upgraded after their last external row — the new,
+    # stricter oracle needs its own external exercise (_REPIN_MIN_ROUND
+    # keeps them in the head until a round >= 5 report confirms green)
+    "sim_topk_cosine_ivf", "scan_binaryfile", "pipeline_referee",
+    "dedup_near_minhash", "anomaly_mad_robust",
 )
 
+# A key listed here stays in the head until a green external row from a
+# round >= its value (default 2 for everything else).  Used to re-pin
+# keys whose oracle was upgraded AFTER an earlier green row: the old
+# row proved the weaker check, not the current one.
+_REPIN_MIN_ROUND: dict[str, int] = {
+    "sim_topk_cosine_ivf": 5,   # rows-only green r3; hash oracle added r4
+    "scan_binaryfile": 5,       # rows-only green r1; read_blob oracle r5
+    "pipeline_referee": 5,      # rows-only green r1; fixture oracle r5
+    "dedup_near_minhash": 5,    # rows-only green r1; md5-replay oracle r5
+    "anomaly_mad_robust": 5,    # hash green r4; cents-fixpoint rewrite r5
+    "agg_approx_percentile": 5,  # red r4; scalar-columns repair r5
+}
+
 # Externally verified green in round 1 (CORRECTNESS_r01.json: hash_match or
-# rows-only rows>0) — rotate to the back of the registry.  Later rounds are
-# picked up automatically by _verified_from_reports() below, so the
-# rotation is self-maintaining: anything the harness has ever verified
-# green yields its slot to never-verified queries next round.
+# rows-only rows>0) — kept as a static fallback in case the report files
+# ever go missing.
 _VERIFIED_R01: frozenset[str] = frozenset({
     "scan_parquet", "filter_contains", "project_select_drop",
     "project_literal", "project_concat_url", "filter_date_or",
@@ -205,20 +175,23 @@ _VERIFIED_R01: frozenset[str] = frozenset({
 })
 
 
-def _verified_from_reports() -> frozenset[str]:
-    """Union of every query the external harness has verified green in any
-    past round, parsed from the CORRECTNESS_r*.json files the driver
-    leaves at the repo root (hash_match, or a rows-only check with
-    rows > 0).  Robust to absent/corrupt files — falls back to the static
-    round-1 set."""
+def _verified_rounds() -> dict[str, set[int]]:
+    """name -> set of round numbers in which the external harness
+    verified the query green (hash_match, or a rows-only check with
+    rows > 0), parsed from the CORRECTNESS_r*.json files the driver
+    leaves at the repo root.  Robust to absent/corrupt files — the
+    static round-1 set is always included."""
     import glob
     import json
     import os
+    import re as _re
 
-    verified: set[str] = set(_VERIFIED_R01)
+    verified: dict[str, set[int]] = {k: {1} for k in _VERIFIED_R01}
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 report = json.load(f)
@@ -230,21 +203,29 @@ def _verified_from_reports() -> frozenset[str]:
                     and (rec.get("spark_rows") or 0) > 0
                 )
                 if green:
-                    verified.add(name)
+                    verified.setdefault(name, set()).add(rnd)
         except Exception:  # noqa: BLE001 — a bad report must not break queries()
             continue
-    return frozenset(verified)
+    return verified
 
 
 def _rotate(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Order the registry: curated head, then never-verified, then verified.
 
-    A head key keeps its slot until a round ≥2 report confirms it green
-    (``retired``); from then on it yields to never-verified queries
-    automatically — no code change needed between rounds."""
-    done = _verified_from_reports()
-    retired = done - _VERIFIED_R01  # verified by a round-2+ report
-    head = [k for k in _ROUND_HEAD if k in merged and k not in retired]
+    A head key keeps its slot until a report from round >=
+    ``_REPIN_MIN_ROUND.get(key, 2)`` confirms it green (``retired``);
+    from then on it yields to never-verified queries automatically — no
+    code change needed between rounds.  The per-key minimum closes the
+    oracle-upgrade blind spot: a key verified under an OLD weaker oracle
+    stays pinned until the new oracle earns its own external row."""
+    rounds = _verified_rounds()
+    done = set(rounds)
+
+    def _retired(k: str) -> bool:
+        need = _REPIN_MIN_ROUND.get(k, 2)
+        return any(r >= need for r in rounds.get(k, ()))
+
+    head = [k for k in _ROUND_HEAD if k in merged and not _retired(k)]
     head_set = set(head)
     mid = [k for k in merged if k not in head_set and k not in done]
     back = [k for k in merged if k not in head_set and k in done]

@@ -47,14 +47,20 @@ def tree_mtime(path: str) -> float:
 
 
 def reap_stale_siblings(base: str, prefix: str, keep: str) -> None:
-    """Delete sibling staging dirs idle (by deep tree mtime) > 6 h."""
+    """Delete sibling staging dirs idle (by deep tree mtime) > 6 h.
+
+    Matches both the app-scoped naming (``<prefix><appId>``) and the
+    exact legacy pre-app-scoping name (``prefix`` minus its trailing
+    underscore, e.g. ``hsep_csv_stage_sf0.1``) — without the legacy
+    match those dirs would persist in /tmp forever (ADVICE r4)."""
     cutoff = time.time() - _REAP_AFTER_SECS
+    legacy = prefix.rstrip("_")
     try:
         siblings = os.listdir(base)
     except OSError:
         return
     for d in siblings:
-        if d.startswith(prefix) and d != keep:
+        if (d.startswith(prefix) or d == legacy) and d != keep:
             full = os.path.join(base, d)
             if tree_mtime(full) < cutoff:
                 shutil.rmtree(full, ignore_errors=True)

@@ -131,10 +131,17 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the exact twin ``agg_percentile_exact`` is the
     cross-checked baseline."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Scalar DOUBLE columns, not the raw array: the external driver
+    # canonicalizes rows-only outputs too, and an ArrayType cell crashes
+    # its pandas sort (CORRECTNESS_r04 agg_approx_percentile, same class
+    # as r03 embed_quantize_int8).  element_at unpacks the one summary
+    # into two scalars — no extra pass over the data.
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
-        ).alias("approx_p50_p95"),
+        F.element_at(pct, 1).alias("approx_p50"),
+        F.element_at(pct, 2).alias("approx_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

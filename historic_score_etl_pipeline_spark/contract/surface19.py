@@ -177,20 +177,54 @@ def _staged_blob_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _le32(binary_col: str, offset0: int):
+    """Little-endian int32 at 0-based ``offset0`` of a binary column,
+    parsed JVM-side: hex the 4 bytes, reverse byte order, conv base 16."""
+    hx = F.hex(F.substring(F.col(binary_col), offset0 + 1, 4))
+    rev = F.concat(
+        F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+        F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+    )
+    return F.conv(rev, 16, 10).cast("long")
+
+
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native ``binaryFile`` source over a staged directory of
-    BMP blobs: one row per file with (name, length, md5(content)) — the
-    opaque-payload ingest path feeding the multimodal pillar.  rows-only:
-    DuckDB has no binary-file table function; content hashes are instead
-    pytest-asserted against a direct Python recompute
+    BMP blobs: one row per file with the name, byte length, and the
+    width/height PARSED FROM THE ACTUAL HEADER BYTES (LE int32 at
+    offsets 18/22) — the opaque-payload ingest path feeding the
+    multimodal pillar.
+
+    ORACLE-CHECKED (upgraded r5 from rows-only, VERDICT r4 ask #4):
+    render_text_bmp sizes the grid arithmetically from the utf-8 byte
+    count (w = nb%24+8, h = nb%16+8, 4-byte-padded rows, 54-byte
+    header), so DuckDB derives every column from the documents view
+    alone — if the scan misreads a file or the stage writes a wrong
+    byte, length/width/height diverge.  The full content md5 stays
+    pytest-asserted against a direct file read
     (tests/test_surface19.py)."""
     path = _staged_blob_dir(spark, sf_dir)
     df = spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(path)
     return df.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").cast("long").alias("length"),
-        F.md5("content").alias("content_md5"),
+        _le32("content", 18).alias("bmp_w"),
+        _le32("content", 22).alias("bmp_h"),
     )
+
+
+SCAN_BINARYFILE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id < {_N_BLOB_FILES}
+)
+SELECT printf('doc_%04d.bmp', doc_id) AS file_name,
+       CAST(54 + ((((nb % 24 + 8) * 3 + 3) // 4) * 4) * (nb % 16 + 8)
+            AS BIGINT) AS length,
+       CAST(nb % 24 + 8 AS BIGINT) AS bmp_w,
+       CAST(nb % 16 + 8 AS BIGINT) AS bmp_h
+FROM d
+"""
 
 
 # --- triangle counting over the co-order graph ----------------------------------
@@ -331,5 +365,5 @@ QUERIES: dict[str, QuerySpec] = {
     "anomaly_zscore_rolling": QuerySpec(
         anomaly_zscore_rolling, ANOMALY_ZSCORE_ROLLING_SQL
     ),
-    "scan_binaryfile": QuerySpec(scan_binaryfile, None),
+    "scan_binaryfile": QuerySpec(scan_binaryfile, SCAN_BINARYFILE_SQL),
 }

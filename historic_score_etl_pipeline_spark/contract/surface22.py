@@ -284,16 +284,22 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two per-user aggregates (|users| rows each) broadcast
     back onto events — the fact table is scanned twice but never
     re-shuffled by a window; both joins are broadcast, plan stays
-    exchange-light.  Median interpolation (mean of the two middle
-    doubles at even counts) is the same IEEE arithmetic in both
-    engines."""
+    exchange-light.  Values are FIXPOINTED to integer cents BEFORE the
+    median (ADVICE r4): a median of integers is either exact or a .5
+    midpoint — both bit-stable doubles — so the two engines'
+    independently-implemented interpolation cannot diverge by an ulp
+    and flip a boundary row's flag."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value"
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
     )
-    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    med = ev.groupBy("user_id").agg(F.median("cents").alias("med"))
     dev = ev.join(F.broadcast(med), "user_id")
     mad = dev.groupBy("user_id").agg(
-        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+        F.median(F.abs(F.col("cents") - F.col("med"))).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "user_id")
@@ -301,7 +307,7 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             (
-                F.abs(F.col("value") - F.col("med"))
+                F.abs(F.col("cents") - F.col("med"))
                 > F.lit(_MAD_K) * F.col("mad")
             )
             .cast("long")
@@ -311,16 +317,20 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANOMALY_MAD_ROBUST_SQL = f"""
-WITH med AS (
-  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT user_id, median(cents) AS med FROM ev GROUP BY user_id
 ), dev AS (
-  SELECT e.event_id, e.user_id, e.value, m.med
-  FROM events e JOIN med m USING (user_id)
+  SELECT e.event_id, e.user_id, e.cents, m.med
+  FROM ev e JOIN med m USING (user_id)
 ), mad AS (
-  SELECT user_id, median(abs(value - med)) AS mad FROM dev GROUP BY user_id
+  SELECT user_id, median(abs(cents - med)) AS mad FROM dev GROUP BY user_id
 )
 SELECT d.event_id, d.user_id,
-       CAST(CASE WHEN abs(d.value - d.med) > {_MAD_K} * m.mad
+       CAST(CASE WHEN abs(d.cents - d.med) > {_MAD_K} * m.mad
                  THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
 FROM dev d JOIN mad m USING (user_id)
 """

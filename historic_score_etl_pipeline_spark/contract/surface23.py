@@ -53,10 +53,13 @@ def _corr_from_sums(n: Column, sx: Column, sy: Column, sxx: Column,
                     syy: Column, sxy: Column) -> Column:
     """Pearson r from exact sufficient statistics; the double arithmetic
     runs over identical IEEE inputs in the same association order in
-    both engines, so round-6 is bit-stable."""
+    both engines, so round-6 is bit-stable.  Zero-variance groups (den
+    not > 0) yield NULL rather than NaN/Inf — mirrors the denom>0
+    pattern in operators/similarity.py::cosine and keeps the two
+    engines' undefined-correlation behavior aligned (ADVICE r4)."""
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    return F.round(num / den, 6)
+    return F.when(den > 0, F.round(num / den, 6))
 
 
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,15 +119,18 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       round((n * sqp - sq * sp)
-             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
-         AS corr_qty_price,
-       round((n * sqd - sq * sd)
-             / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
-         AS corr_qty_disc,
-       round((n * spd - sp * sd)
-             / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
-         AS corr_price_disc
+       CASE WHEN sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp) > 0
+            THEN round((n * sqp - sq * sp)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+       END AS corr_qty_price,
+       CASE WHEN sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd) > 0
+            THEN round((n * sqd - sq * sd)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+       END AS corr_qty_disc,
+       CASE WHEN sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd) > 0
+            THEN round((n * spd - sp * sd)
+                 / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+       END AS corr_price_disc
 FROM s
 """
 

@@ -160,7 +160,10 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Distributed triangle counting by DEGREE-ORDERED edge orientation —
     the classic O(m^1.5)-work formulation (node-iterator++ / Cohen's
@@ -194,7 +197,10 @@ def triangle_count(
         # localCheckpoint materializes the O(m) rows once — the same
         # edge-list caching every iterative graph system does
         # (GraphX/Pregel pin the edge RDD for exactly this reason).
-        .localCheckpoint()
+        # LAZY: the m = e.count() below is the materializing action, so
+        # merely CONSTRUCTING this DataFrame (e.g. a schema scan) runs
+        # no job beyond that one count.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -222,7 +228,9 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
-    ).localCheckpoint()
+        # LAZY: materializes at the first downstream action and is then
+        # reused by all three consumers — construction stays job-free.
+    ).localCheckpoint(eager=False)
     # The wedge join FANS OUT ~40× (m rows in, Σ outdeg² rows out) — AQE
     # sizes its shuffle from the small INPUT and would coalesce to a
     # handful of tasks, serializing the expensive stage.  An explicit
@@ -243,20 +251,26 @@ def triangle_count(
     )
     # Closing probe: the right side is the O(m) oriented list itself.
     # Broadcasting it keeps the Σ outdeg² wedge rows from shuffling AGAIN
-    # (they are ~40× the edge list) — valid while m is broadcast-sized;
-    # beyond the threshold fall back to the partitioned semi join, which
-    # reuses the wedge stage's (x,z)-compatible layout.  Same adaptive
-    # small/large split as connected_components' union-find hybrid.
+    # (they are ~40× the edge list) — valid only while the driver-built
+    # hash relation stays small.  Gate on ESTIMATED RELATION BYTES, not a
+    # raw row count (the earlier fixed 4M-row gate could build a
+    # multi-hundred-MB BytesToBytesMap and OOM a default-sized driver):
+    # each (long,long) edge costs ~16 payload + ~32 bytes of hash-map
+    # overhead, so the 64 MB default admits ~1.4M edges — a relation any
+    # 1 GB driver holds comfortably.  Beyond the cap fall back to the
+    # partitioned semi join, which reuses the wedge stage's
+    # (x,z)-compatible layout.  Same adaptive small/large split as
+    # connected_components' union-find hybrid.
+    m = e.count()  # e is pinned — one cheap scan, reused for the output
     close_right = oriented.select(F.col("x"), F.col("y").alias("z"))
-    if e.count() <= 4_000_000:  # e is pinned — the count is a cheap scan
+    if m * 48 <= broadcast_max_bytes:
         close_right = F.broadcast(close_right)
     closed = wedges.join(close_right, ["x", "z"], "left_semi")
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
-    n_edges = e.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_tri = closed.agg(F.count(F.lit(1)).alias("n")).select("n")
     return (
         n_nodes.select(F.col("n").cast("long").alias("n_nodes"))
-        .crossJoin(n_edges.select(F.col("n").cast("long").alias("n_edges")))
+        .withColumn("n_edges", F.lit(m).cast("long"))
         .crossJoin(
             n_tri.select(F.col("n").cast("long").alias("n_triangles"))
         )
@@ -315,7 +329,11 @@ def pagerank_integer(
     # rounds 1..k-1: quadratic recompute).  This is the standard
     # iterative-graph pattern (GraphX/Pregel cache edges + checkpoint
     # the per-round vertex state).
-    ew = e.join(outd, "u").localCheckpoint()
+    # LAZY checkpoints throughout: constructing the PageRank DataFrame
+    # runs no jobs beyond the one outd.count() above — the first real
+    # action materializes ew and each round's ranks in sequence, after
+    # which every block is reused (work stays linear in `iters`).
+    ew = e.join(outd, "u").localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = (
             ew.join(ranks, "u")
@@ -329,7 +347,7 @@ def pagerank_integer(
         ranks = contrib.select(
             F.col("v").alias("u"),
             (F.lit(base) + F.col("acc")).cast("long").alias("r"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("u").alias("node"), F.col("r").alias("rank_units")
     )

@@ -202,21 +202,25 @@ def bigram_surprisal(df, id_col: str, text_col: str):
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # vocabulary size: a scalar — computed once; at scale keep as a
-    # broadcast 1-row DF instead of a driver value
-    vsize = (
+    # vocabulary size: a 1-row broadcast DF folded into the expression —
+    # NO driver action (the old .first() pulled the scalar through the
+    # driver and cost a separate job; a broadcast single row is free and
+    # keeps the whole operator one lazy plan).  The cast to double
+    # happens once here so c1 + v is the same IEEE add as the previous
+    # c1 + lit(float(vsize)).
+    vdf = (
         toks.select(F.explode("t").alias("tok"))
-        .agg(F.countDistinct("tok"))
-        .first()[0]
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
     )
     surp = F.floor(
-        -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vsize))))
+        -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
     return (
         pairs.join(c2, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vdf))
         .withColumn("surp", surp)
         .groupBy(id_col)
         .agg(

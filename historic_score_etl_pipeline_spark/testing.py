@@ -129,6 +129,26 @@ def _dtype_kind(series: pd.Series) -> str:
     return "empty"  # all-null column — compatible with anything
 
 
+def scalar_only_violation(pdf: pd.DataFrame) -> str | None:
+    """Return a message if any column holds unhashable list/dict cells.
+
+    The external driver canonicalizes EVERY query's output — including
+    rows-only ones — with a pandas sort that crashes on list/dict cells
+    (CORRECTNESS_r03 embed_quantize_int8 was an oracled query,
+    CORRECTNESS_r04 agg_approx_percentile a rows-only one: same class).
+    The local gate applies this to the whole registry."""
+    for c in pdf.columns:
+        k = _dtype_kind(pdf[c])
+        if k in ("list", "dict"):
+            return (
+                f"column '{c}' is a raw {k} — the driver's canonicalizer "
+                f"sorts rows-only outputs too and crashes on unhashable "
+                f"cells; emit a string encoding (concat_ws/to_json) or "
+                f"explode to long format"
+            )
+    return None
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if sc != oc:
@@ -191,8 +211,13 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> list[Parit
             results.append(ParityResult(name, False, f"spark error: {e}"))
             continue
         if name not in oracles:
-            ok = len(sdf) >= 0
-            results.append(ParityResult(name, ok, f"rows-only: {len(sdf)} rows"))
+            viol = scalar_only_violation(sdf)
+            if viol is not None:
+                results.append(ParityResult(name, False, viol))
+            else:
+                results.append(
+                    ParityResult(name, True, f"rows-only: {len(sdf)} rows")
+                )
             continue
         try:
             odf = con.execute(oracles[name]).df()

@@ -46,25 +46,46 @@ def test_registry_rotation_is_self_maintaining(monkeypatch):
     # Baseline fixture: only the static round-1 set is verified, so the
     # curated head keeps its slots.
     monkeypatch.setattr(
-        c, "_verified_from_reports", lambda: frozenset(c._VERIFIED_R01)
+        c, "_verified_rounds", lambda: {k: {1} for k in c._VERIFIED_R01}
     )
     before = list(c._merged())
     head_live = [k for k in c._ROUND_HEAD if k in before]
     assert before[0] == head_live[0]
 
-    # Fixture round-2 report confirms two head keys green — they must
-    # retire behind the never-verified block.
+    # Fixture report from the key's repin round (or round 2 for unpinned
+    # keys) confirms two head keys green — they must retire behind the
+    # never-verified block.
     confirmed = {head_live[0], head_live[7]}
-    monkeypatch.setattr(
-        c,
-        "_verified_from_reports",
-        lambda: frozenset(set(c._VERIFIED_R01) | confirmed),
-    )
+    fixture = {k: {1} for k in c._VERIFIED_R01}
+    for k in confirmed:
+        fixture.setdefault(k, set()).add(c._REPIN_MIN_ROUND.get(k, 2))
+    monkeypatch.setattr(c, "_verified_rounds", lambda: fixture)
     after = list(c._merged())
     for k in confirmed:
-        assert k not in after[:45], k
+        assert k not in after[:20], k
     # registry contents unchanged, only order
     assert sorted(after) == sorted(before)
+
+
+def test_repinned_key_survives_pre_repin_green_row(monkeypatch):
+    """The oracle-upgrade blind spot (VERDICT r4 ask #3): a key verified
+    green BEFORE its repin round must stay in the head — the old row
+    proved the weaker oracle, not the current one."""
+    import historic_score_etl_pipeline_spark.contract as c
+
+    repinned = next(iter(c._REPIN_MIN_ROUND))
+    need = c._REPIN_MIN_ROUND[repinned]
+    fixture = {k: {1} for k in c._VERIFIED_R01}
+    fixture.setdefault(repinned, set()).add(need - 1)  # old weaker pass
+    monkeypatch.setattr(c, "_verified_rounds", lambda: fixture)
+    head_pos = list(c._merged()).index(repinned)
+    assert head_pos < len(c._ROUND_HEAD), (repinned, head_pos)
+
+    # Once a round >= repin-round report lands, it retires normally.
+    fixture2 = {k: v | ({need} if k == repinned else set())
+                for k, v in fixture.items()}
+    monkeypatch.setattr(c, "_verified_rounds", lambda: fixture2)
+    assert list(c._merged()).index(repinned) >= len(c._ROUND_HEAD)
 
 
 def test_compare_rejects_hugeint_dtype_drift():
@@ -101,21 +122,40 @@ def test_compare_rejects_raw_array_output():
     assert not r2.ok and "raw dict" in r2.detail
 
 
-def test_no_oracled_query_emits_raw_nested_columns(spark, sf_oracle):
-    """Registry-wide schema scan: every oracle-checked query must emit
-    scalar top-level columns only (the driver-hash contract).  Catches
-    the next embed_quantize_int8 at authoring time without running the
-    full parity suite."""
+def test_no_registry_query_emits_raw_nested_columns(spark, sf_oracle):
+    """Registry-wide schema scan: EVERY registered query — oracled AND
+    rows-only — must emit scalar top-level columns only.  The external
+    driver canonicalizes rows-only outputs too (CORRECTNESS_r04
+    agg_approx_percentile crashed its pandas sort exactly like r03's
+    oracled embed_quantize_int8), so the authoring-time gate covers the
+    whole registry, not just the oracled subset."""
     from pyspark.sql import types as T
 
-    qs, oracles = contract.queries(), contract.oracle_sql()
+    qs = contract.queries()
     offenders = []
-    for name in oracles:
-        schema = qs[name](spark, sf_oracle).schema
+    for name, fn in qs.items():
+        schema = fn(spark, sf_oracle).schema
         for f in schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_rows_only_array_output_fails_local_gate(tmp_path):
+    """Regression (VERDICT r4 ask #1): a rows-only query whose pandas
+    output carries list cells must FAIL the local gate — run_parity's
+    rows-only branch applies scalar_only_violation, matching the
+    external driver's canonicalizer strictness."""
+    import pandas as pd
+
+    from historic_score_etl_pipeline_spark.testing import (
+        scalar_only_violation,
+    )
+
+    bad = pd.DataFrame({"k": ["a", "b"], "pcts": [[0.5, 0.95], [0.1]]})
+    msg = scalar_only_violation(bad)
+    assert msg is not None and "raw list" in msg
+    assert scalar_only_violation(bad.drop(columns=["pcts"])) is None
 
 
 def test_compare_rejects_live_uncast_duckdb_sum():
