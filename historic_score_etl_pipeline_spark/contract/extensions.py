@@ -175,11 +175,61 @@ GROUP BY 1
 
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidate pairs over document shingles —
-    the scale path for near-dup (no n² self-join).  xxhash64 seeds are
-    Spark-specific → rows-only check; correctness vs. exact Jaccard is
-    asserted in tests/test_dedup.py."""
+    the scale path for near-dup (no n² self-join).
+
+    ORACLE-CHECKED (upgraded r5 from rows-only, VERDICT r4 ask #4): the
+    ``portable=True`` path bases every hash on md5 (token hashes AND
+    band-bucket keys), which DuckDB replays bit-for-bit — the oracle
+    re-derives shingle hashes, the 32-way affine MinHash fold, banding
+    and the bucket self-join from the documents view alone.  Production
+    callers (dedup_pipeline_e2e, streaming) keep the xxhash64 fast path;
+    the two share all arithmetic beyond the base hash, and the xxhash64
+    path's recall vs exact Jaccard stays asserted in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, "doc_id", "text")
+    return lsh_candidate_pairs(docs, "doc_id", "text", portable=True)
+
+
+# DuckDB replay of the full portable MinHash→LSH chain.  Constants match
+# operators/dedup.py: P = 2^31−1, a_i = (2i·0x9E3779B9+1) mod P,
+# b_i = (i·0x85EBCA6B) mod P, 3-token shingles, 32 hashes, 8 bands of 4.
+DEDUP_NEAR_MINHASH_SQL = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(
+             lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                % 2147483647) AS h
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(h) - 2, 1)),
+           i -> (coalesce(h[i], 0)
+                 + coalesce(h[i+1], 0) * ((4*2654435769 + 1) % 2147483647)
+                 + coalesce(h[i+2], 0) * ((6*2654435769 + 1) % 2147483647))
+                % 2147483647)) AS sh
+  FROM th
+), sig AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, 32),
+           i -> list_min(list_transform(
+                  sh,
+                  s -> (s * ((2*i*2654435769 + 1) % 2147483647)
+                        + ((i*2245772107) % 2147483647))
+                       % 2147483647))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id,
+         md5(CAST(b AS VARCHAR) || ',' ||
+             array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
 
 
 # --- K2b: SimHash signatures (rows-only) ----------------------------------
@@ -621,7 +671,7 @@ QUERIES: dict[str, QuerySpec] = {
     "udtf_explode_matches": QuerySpec(udtf_explode_matches, None),
     "sink_write": QuerySpec(sink_write, None),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_near_minhash": QuerySpec(dedup_near_minhash, None),
+    "dedup_near_minhash": QuerySpec(dedup_near_minhash, DEDUP_NEAR_MINHASH_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embed_cosine": QuerySpec(dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),

@@ -99,6 +99,26 @@ def token_hashes(col: Column | str) -> Column:
     return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MH_P)))
 
 
+def token_hashes_md5(col: Column | str) -> Column:
+    """Engine-PORTABLE twin of :func:`token_hashes`: 31-bit token hashes
+    derived from md5 (first 15 hex chars → integer, mod 2³¹−1) instead
+    of xxhash64.  md5 is bit-identical in every engine, so a SQL oracle
+    can replay the whole MinHash→LSH chain value-for-value — this is the
+    hash the ``dedup_near_minhash`` contract query uses.  Production
+    paths keep xxhash64 (several× cheaper per token); the two differ
+    ONLY in the base hash, all downstream arithmetic is shared."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    toks = F.split(F.lower(stripped), r"\s+")
+    return F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(_MH_P),
+        ),
+    )
+
+
 def shingle_hashes(th: Column, n: int = 3) -> Column:
     """Shingle hash = affine combination of n consecutive token hashes —
     pure integer math, no shingle-string allocation, and each token was
@@ -178,12 +198,15 @@ def band_buckets(
     text_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, bucket) rows: the LSH band index of each document — ``bands``
     rows per doc, bucket = hash of (band number, that band's signature
     slice).  This is the persisted "signature index" of an incremental
     dedup deployment: computed once per doc, stored partitioned by
-    bucket."""
+    bucket.  ``portable=True`` swaps both hash sites to md5
+    (:func:`token_hashes_md5` + an md5 bucket key) so an external SQL
+    oracle can replay the chain exactly."""
     from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
 
     # CPU-heavy per-row work: make sure it spreads across cores even when
@@ -193,10 +216,13 @@ def band_buckets(
     # two staged projections (token hash → shingle combine): each stage
     # references the previous as a materialized column, so nothing is
     # inlined/recomputed per element
+    hasher = token_hashes_md5 if portable else token_hashes
     sh = df.select(
-        F.col(id_col), token_hashes(text_col).alias("th")
+        F.col(id_col), hasher(text_col).alias("th")
     ).select(F.col(id_col), shingle_hashes(F.col("th")).alias("mh_base"))
-    return band_buckets_from_hashes(sh, id_col, "mh_base", num_hashes, bands)
+    return band_buckets_from_hashes(
+        sh, id_col, "mh_base", num_hashes, bands, portable
+    )
 
 
 def band_buckets_from_hashes(
@@ -205,6 +231,7 @@ def band_buckets_from_hashes(
     hash_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Band buckets from a PRECOMPUTED shingle-hash array column — the
     entry point when the shingle pass is shared with a verify stage
@@ -231,8 +258,25 @@ def band_buckets_from_hashes(
         ).alias("pos", "bandrow"),
     ).select(
         id_col,
-        # xxhash64 hashes the array column natively — no JSON stringify
-        F.xxhash64(F.col("bandrow.band"), F.col("bandrow.vals")).alias("bucket"),
+        # xxhash64 hashes the array column natively — no JSON stringify.
+        # The portable path formats "band,v1,v2,..." and md5s it: byte-
+        # replayable in any engine (array_to_string in DuckDB).
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.col("bandrow.band").cast("string"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("bandrow.vals"), lambda v: v.cast("string")
+                    ),
+                ),
+            )
+        ).alias("bucket")
+        if portable
+        else F.xxhash64(F.col("bandrow.band"), F.col("bandrow.vals")).alias(
+            "bucket"
+        ),
     )
 
 
@@ -242,6 +286,7 @@ def lsh_candidate_pairs(
     text_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates.
 
@@ -250,7 +295,7 @@ def lsh_candidate_pairs(
     pairs.  The self-join never materializes n²: only rows sharing a full
     band collide.  Returns (id_a, id_b) with id_a < id_b.
     """
-    banded = band_buckets(df, id_col, text_col, num_hashes, bands)
+    banded = band_buckets(df, id_col, text_col, num_hashes, bands, portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

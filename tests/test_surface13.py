@@ -91,7 +91,7 @@ def test_approx_percentile_rank_error(spark, sf_oracle):
             .collect()
         )
         n = len(vals)
-        for q, est in zip((0.5, 0.95), row.approx_p50_p95):
+        for q, est in zip((0.5, 0.95), (row.approx_p50, row.approx_p95)):
             import bisect
 
             rank = bisect.bisect_right(vals, est) / n
