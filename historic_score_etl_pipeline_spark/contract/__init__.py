@@ -64,6 +64,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface25,
         surface26,
         surface27,
+        surface28,
         windows,
     )
 
@@ -101,6 +102,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface25,
         surface26,
         surface27,
+        surface28,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -138,6 +140,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # keeps them in the head until a round >= 5 report confirms green)
     "sim_topk_cosine_ivf", "scan_binaryfile", "pipeline_referee",
     "dedup_near_minhash", "anomaly_mad_robust",
+    # batch-35 (new in round 5) — pinned so each gets an external row in
+    # its first round of existence
+    "event_funnel_conversion", "event_retention_cohort",
+    "window_rolling_median", "str_levenshtein_block", "embed_centroid_dist",
 )
 
 # A key listed here stays in the head until a green external row from a
