@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Cross-scale spot-bench: the five heaviest queries at sf0.1 vs a
+synthetic ~sf1 replica, with fitted scaling exponents (VERDICT r4 ask
+#7 — the 100 TB design claims were argued from plans at sf0.1; this
+adds one empirical order of magnitude).
+
+The sf1 replica is built ONCE into /tmp/hsep_sf1 by tiling sf0.1 ten
+times with key-shifted copies:
+
+* ``orders``/``lineitem``/``customer`` shift (orderkey, custkey,
+  partkey) by copy-index strides → ten disjoint co-order graphs, so
+  graph work should scale ~linearly in edges for the fixed degree
+  distribution (the triangle broadcast-cap also trips: 12M edges >
+  the 64 MB relation cap → the partitioned closing probe runs, which
+  is exactly the branch that needs scale evidence).
+* ``documents`` shifts doc_id and SUFFIXES EVERY TOKEN with the copy
+  index — without that, clones would band-collide in LSH and the
+  candidate-pair count would blow up 45× instead of scaling linearly.
+* dims (region/nation/part/supplier) and events/embeddings are copied
+  1×: none of the five heavies joins through them at sf1 (documented
+  limitation — this replica is a THROUGHPUT fixture, not a
+  correctness fixture; correctness always runs on driver testdata).
+
+Usage: python bench_sf1.py   → one JSON line
+  {"metric": "sf1_scaling", "sf01": {...}, "sf1": {...},
+   "exponent": {...}}  where exponent = log10(t_sf1 / t_sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(tempfile.gettempdir(), "hsep_sf1")
+COPIES = 10
+# key strides: max key at sf0.1 rounded up to a clean power-of-10 grid
+STRIDE_ORDER = 1_000_000
+STRIDE_CUST = 100_000
+STRIDE_PART = 100_000
+STRIDE_DOC = 10_000
+
+HEAVIES = [
+    "graph_triangle_count",
+    "graph_pagerank",
+    "dedup_pipeline_e2e",
+    "text_bigram_surprisal",
+]
+
+
+def build_sf1() -> None:
+    import duckdb
+
+    marker = os.path.join(OUT, "_BUILT_v1")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+
+    def tile(table: str, select_tpl: str) -> None:
+        parts = [
+            select_tpl.format(i=i, src=f"read_parquet('{SRC}/{table}.parquet')")
+            for i in range(COPIES)
+        ]
+        union = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({union}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    tile(
+        "orders",
+        f"SELECT o_orderkey + {{i}} * {STRIDE_ORDER} AS o_orderkey, "
+        f"o_custkey + {{i}} * {STRIDE_CUST} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+        "FROM {src}",
+    )
+    tile(
+        "lineitem",
+        f"SELECT l_orderkey + {{i}} * {STRIDE_ORDER} AS l_orderkey, "
+        f"l_partkey + {{i}} * {STRIDE_PART} AS l_partkey, "
+        "l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        "FROM {src}",
+    )
+    tile(
+        "customer",
+        f"SELECT c_custkey + {{i}} * {STRIDE_CUST} AS c_custkey, "
+        "c_name, c_nationkey, c_acctbal, c_mktsegment FROM {src}",
+    )
+    tile(
+        "documents",
+        f"SELECT doc_id + {{i}} * {STRIDE_DOC} AS doc_id, "
+        "regexp_replace(text, '(\\S+)', '\\1x{i}', 'g') AS text, "
+        "lang, source, n_chars FROM {src}",
+    )
+    for table in ("region", "nation", "part", "supplier", "events",
+                  "embeddings"):
+        shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_set(spark, sf_dir: str, qs, flagship) -> dict[str, float]:
+    from historic_score_etl_pipeline_spark.sources.catalog import (
+        stage_landing_zone,
+    )
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"hsep_bench_stage_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sf_dir = stage_landing_zone(spark, sf_dir, staged)
+
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for name in HEAVIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(flagship(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    out["flagship"] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    build_sf1()
+
+    from historic_score_etl_pipeline_spark import contract
+    from historic_score_etl_pipeline_spark.plans.flagship import (
+        flagship_pipeline,
+    )
+    from historic_score_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    # same small-file split policy as bench.py — the staged files are far
+    # under the default 128 MB split, so scans would collapse to 1 task
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+
+    qs = contract.queries()
+    # warmup at the smallest SF: compile codegen before any timed pass
+    warm = "/root/testdata/sf0.001"
+    for name in HEAVIES:
+        try:
+            qs[name](spark, warm).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
+    t01 = run_set(spark, SRC, qs, flagship_pipeline)
+    t1 = run_set(spark, OUT, qs, flagship_pipeline)
+    exp = {
+        k: round(math.log10(max(t1[k], 1e-3) / max(t01[k], 1e-3)), 3)
+        for k in t01
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_scaling",
+                "copies": COPIES,
+                "sf01": t01,
+                "sf1": t1,
+                "exponent": exp,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface26,
         surface27,
         surface28,
+        surface29,
         windows,
     )
 
@@ -103,6 +104,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface26,
         surface27,
         surface28,
+        surface29,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -144,6 +146,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # its first round of existence
     "event_funnel_conversion", "event_retention_cohort",
     "window_rolling_median", "str_levenshtein_block", "embed_centroid_dist",
+    # batch-36 (new in round 5) — pinned likewise
+    "join_bucketed_colocate", "agg_hll_portable", "agg_mode_deterministic",
+    "sample_pair_negatives", "text_containment_ngram",
 )
 
 # A key listed here stays in the head until a green external row from a

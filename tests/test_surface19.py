@@ -176,15 +176,19 @@ def test_triangle_count_partitioned_fallback(spark):
         "u long, v long",
     )
     fb = triangle_count(edges, "u", "v", broadcast_max_bytes=0)
-    # The closing probe is the only LeftSemi join in the plan — assert it
-    # is NOT a broadcast join (the degree joins remain broadcast by
-    # design; they are |V|-row dims).
+    # Fallback shape: the closing probe is still a LeftSemi join but a
+    # PARTITIONED one — assert no Broadcast on any LeftSemi line (the
+    # degree joins remain broadcast by design; they are |V|-row dims).
     plan = fb._jdf.queryExecution().executedPlan().toString()
     semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert semi_lines, "closing semi join missing from plan"
     assert all("Broadcast" not in ln for ln in semi_lines), semi_lines
     row = fb.collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 6, 2)
+
+    # and the default (broadcast) path agrees on the same input
+    bc = triangle_count(edges, "u", "v").collect()[0]
+    assert (bc["n_nodes"], bc["n_edges"], bc["n_triangles"]) == (6, 6, 2)
 
 
 def test_triangle_count_matches_python_recompute(spark, sf_smoke):
