@@ -66,6 +66,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface27,
         surface28,
         surface29,
+        surface30,
         windows,
     )
 
@@ -105,6 +106,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface27,
         surface28,
         surface29,
+        surface30,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -149,6 +151,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-36 (new in round 5) — pinned likewise
     "join_bucketed_colocate", "agg_hll_portable", "agg_mode_deterministic",
     "sample_pair_negatives", "text_containment_ngram",
+    # batch-37 (new in round 5) — pinned likewise
+    "event_anomaly_cusum", "window_exp_decay_sum", "agg_bloom_portable",
+    "dedup_minhash_jaccard_est", "agg_kmv_distinct",
 )
 
 # A key listed here stays in the head until a green external row from a

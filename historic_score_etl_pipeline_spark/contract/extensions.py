@@ -217,7 +217,7 @@ WITH th AS (
            i -> list_min(list_transform(
                   sh,
                   s -> (s * ((2*i*2654435769 + 1) % 2147483647)
-                        + ((i*2245772107) % 2147483647))
+                        + ((i*2246822507) % 2147483647))
                        % 2147483647))) AS sig
   FROM sh
 ), banded AS (
