@@ -67,6 +67,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface28,
         surface29,
         surface30,
+        surface31,
         windows,
     )
 
@@ -107,6 +108,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface28,
         surface29,
         surface30,
+        surface31,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -154,6 +156,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-37 (new in round 5) — pinned likewise
     "event_anomaly_cusum", "window_exp_decay_sum", "agg_bloom_portable",
     "dedup_minhash_jaccard_est", "agg_kmv_distinct",
+    # batch-38 (new in round 5) — pinned likewise
+    "join_point_in_time", "agg_log2_histogram", "event_interarrival_median",
+    "text_zipf_slope", "window_peak_local_max",
 )
 
 # A key listed here stays in the head until a green external row from a
