@@ -62,6 +62,11 @@ HEADLINE = [
     "parse_token_records_h2h",  # greedy-fold record parser, zero shuffles (r4)
     "agg_countmin_sketch",  # 4x explode + 256-cell mergeable sketch (r4)
     "dedup_latest_snapshot",  # WindowGroupLimit rank-1 per key (r4)
+    "event_anomaly_cusum",  # CUSUM closed form: two windows, one shuffle (r5)
+    "event_funnel_conversion",  # 3 chained per-user min aggs + joins (r5)
+    "window_rolling_median",  # exact lower median over trailing frame (r5)
+    "dedup_minhash_jaccard_est",  # portable MinHash chain + sig joins (r5)
+    "text_zipf_slope",  # explode -> rank window -> fixpointed regression (r5)
 ]
 
 

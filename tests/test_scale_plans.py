@@ -297,6 +297,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "join_zip_index": {"SINGLE_PART"},
         "sim_topk_cosine": {"BNLJ"},
         "subq_global_fraction": {"BNLJ", "SINGLE_PART"},
+        # 1-row vocab-size scalar folded in as a broadcast DF (the r5
+        # driver-free rewrite that removed the .first() job)
+        "text_bigram_surprisal": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
