@@ -68,6 +68,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface29,
         surface30,
         surface31,
+        surface32,
         windows,
     )
 
@@ -109,6 +110,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface29,
         surface30,
         surface31,
+        surface32,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -159,6 +161,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-38 (new in round 5) — pinned likewise
     "join_point_in_time", "agg_log2_histogram", "event_interarrival_median",
     "text_zipf_slope", "window_peak_local_max",
+    # batch-39 (new in round 5) — fills the head-50 exactly
+    "window_drawdown_max", "agg_kmv_intersection", "event_dow_profile",
+    "str_url_canonicalize",
 )
 
 # A key listed here stays in the head until a green external row from a
