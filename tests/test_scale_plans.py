@@ -287,6 +287,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
     from historic_score_etl_pipeline_spark import contract
 
     ALLOWED = {
+        # |types|-row (≤ handful) dim theta-joined to build unordered
+        # pairs — a tiny broadcast, never data-sized
+        "agg_kmv_intersection": {"BNLJ"},
         "date_spine_gapfill": {"BNLJ", "SINGLE_PART"},
         "dedup_embed_cosine": {"BNLJ"},
         "graph_triangle_count": {"BNLJ", "SINGLE_PART"},  # 3 scalar counts

@@ -161,12 +161,12 @@ def test_triangle_count_hand_graph(spark):
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 6, 2)
 
 
-def test_triangle_count_partitioned_fallback(spark):
-    """The >broadcast-cap closing-probe branch (partitioned semi join,
-    operators/graph.py) must produce identical counts to the broadcast
-    path and must NOT broadcast the oriented edge list.  Forcing
-    broadcast_max_bytes=0 exercises the branch the default threshold
-    never reaches at test scale (VERDICT r4 ask #5)."""
+def test_triangle_count_plan_has_no_wedge_scale_hazard(spark):
+    """The edge-iterator formulation must never materialize the wedge
+    fan-out or broadcast anything graph-sized: no nested-loop or
+    cartesian join anywhere, and the two adjacency probes are
+    PARTITIONED joins (Broadcast* appears only in the |V|-row degree
+    joins, never feeding an array-carrying probe)."""
     from historic_score_etl_pipeline_spark.operators.graph import (
         triangle_count,
     )
@@ -175,20 +175,18 @@ def test_triangle_count_partitioned_fallback(spark):
         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6), (2, 1), (3, 3)],
         "u long, v long",
     )
-    fb = triangle_count(edges, "u", "v", broadcast_max_bytes=0)
-    # Fallback shape: the closing probe is still a LeftSemi join but a
-    # PARTITIONED one — assert no Broadcast on any LeftSemi line (the
-    # degree joins remain broadcast by design; they are |V|-row dims).
-    plan = fb._jdf.queryExecution().executedPlan().toString()
-    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
-    assert semi_lines, "closing semi join missing from plan"
-    assert all("Broadcast" not in ln for ln in semi_lines), semi_lines
-    row = fb.collect()[0]
+    df = triangle_count(edges, "u", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the one BNLJ is the documented 1-row scalar crossJoin of the
+    # output counts — never a graph-sized side
+    probe_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert len(probe_lines) >= 2, plan  # both adjacency probes partitioned
+    row = df.collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 6, 2)
-
-    # and the default (broadcast) path agrees on the same input
-    bc = triangle_count(edges, "u", "v").collect()[0]
-    assert (bc["n_nodes"], bc["n_edges"], bc["n_triangles"]) == (6, 6, 2)
 
 
 def test_triangle_count_matches_python_recompute(spark, sf_smoke):
