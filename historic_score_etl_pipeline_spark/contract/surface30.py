@@ -243,19 +243,43 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc and joined to both pair sides; the md5 base hash keeps the
     whole chain SQL-replayable."""
     from historic_score_etl_pipeline_spark.operators.dedup import (
-        lsh_candidate_pairs,
+        band_buckets_from_hashes,
         minhash_mins,
         shingle_hashes,
         token_hashes_md5,
     )
+    from historic_score_etl_pipeline_spark.operators.scale import (
+        ensure_parallelism,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = (
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    # ONE shingle-hash pass shared by the signature build AND the LSH
+    # banding (the expensive stage is the per-token md5; lazily pinned so
+    # both consumers read the same materialized rows — the same sharing
+    # dedup_pipeline_e2e does)
+    sh = (
         docs.select("doc_id", token_hashes_md5("text").alias("th"))
         .select("doc_id", shingle_hashes(F.col("th")).alias("base"))
-        .select("doc_id", minhash_mins(F.col("base"), 32).alias("sig"))
+        .localCheckpoint(eager=False)
     )
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text", portable=True)
+    sigs = sh.select("doc_id", minhash_mins(F.col("base"), 32).alias("sig"))
+    banded = band_buckets_from_hashes(
+        sh, "doc_id", "base", 32, 8, portable=True
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
     matches = F.aggregate(
         F.zip_with(
             F.col("sig_a"),
