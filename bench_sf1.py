@@ -10,9 +10,10 @@ times with key-shifted copies:
 * ``orders``/``lineitem``/``customer`` shift (orderkey, custkey,
   partkey) by copy-index strides → ten disjoint co-order graphs, so
   graph work should scale ~linearly in edges for the fixed degree
-  distribution (the triangle broadcast-cap also trips: 12M edges >
-  the 64 MB relation cap → the partitioned closing probe runs, which
-  is exactly the branch that needs scale evidence).
+  distribution.  For triangle_count (edge-iterator formulation: one
+  adjacency-array aggregate, two sorted joins — no broadcast branch)
+  the 12M-edge replica is the evidence that the per-edge intersection
+  cost stays ~m^1.5-bounded when the adjacency arrays are 10× wider.
 * ``documents`` shifts doc_id and SUFFIXES EVERY TOKEN with the copy
   index — without that, clones would band-collide in LSH and the
   candidate-pair count would blow up 45× instead of scaling linearly.

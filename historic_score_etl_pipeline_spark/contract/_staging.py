@@ -66,6 +66,37 @@ def reap_stale_siblings(base: str, prefix: str, keep: str) -> None:
                 shutil.rmtree(full, ignore_errors=True)
 
 
+def reap_stale_tables(
+    spark: SparkSession, prefixes: tuple[str, ...], keep: set[str]
+) -> None:
+    """DROP + delete app-scoped ``saveAsTable`` staging tables idle > 6 h.
+
+    ``saveAsTable`` leaks TWO artifacts per session: a warehouse
+    directory AND a Derby metastore row — neither is covered by the
+    /tmp reaper, so bucketed-join fixtures accrete forever (review
+    finding r5: 35 leaked table dirs).  Same deep-mtime liveness rule
+    as :func:`reap_stale_siblings` (a concurrent hostile/normal parity
+    session's tables stay warm and are never dropped).  Keyed off the
+    warehouse LISTING, not the catalog, so dirs orphaned by a rebuilt
+    metastore are still removed; DROP TABLE IF EXISTS covers the
+    catalog row when one exists."""
+    from urllib.parse import urlparse
+
+    raw = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = urlparse(raw).path or raw
+    cutoff = time.time() - _REAP_AFTER_SECS
+    try:
+        siblings = os.listdir(wh)
+    except OSError:
+        return
+    for d in siblings:
+        if any(d.startswith(p) for p in prefixes) and d not in keep:
+            full = os.path.join(wh, d)
+            if tree_mtime(full) < cutoff:
+                spark.sql(f"DROP TABLE IF EXISTS `{d}`")
+                shutil.rmtree(full, ignore_errors=True)
+
+
 def app_scoped_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     """Per-(kind, scale, application) staging path; reaps stale siblings
     of the same kind+scale on the way.  The dir itself is NOT created —

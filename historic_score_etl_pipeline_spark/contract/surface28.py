@@ -19,7 +19,7 @@
   exists only mid-expression — the output is scalar columns.
 * ``str_levenshtein_block`` — blocked fuzzy pairing: thinned left side
   × same-lang right side, kept when the edit distance of the 40-char
-  prefixes ≤ 15.  levenshtein() is the textbook DP in both engines —
+  prefixes ≤ 25.  levenshtein() is the textbook DP in both engines —
   bit-identical.  The lang block + left thinning keeps the pair count
   linear-ish; at 100 TB the block key would be an LSH bucket instead.
 * ``embed_centroid_dist`` — distance-to-own-class-centroid over the

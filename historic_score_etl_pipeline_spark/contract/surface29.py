@@ -54,9 +54,14 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    from historic_score_etl_pipeline_spark.contract._staging import (
+        reap_stale_tables,
+    )
+
     app = spark.sparkContext.applicationId.replace("-", "_")
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     t_ord, t_cust = f"hsep_bko_{tag}_{app}", f"hsep_bkc_{tag}_{app}"
+    reap_stale_tables(spark, ("hsep_bko_", "hsep_bkc_"), {t_ord, t_cust})
     if not spark.catalog.tableExists(t_ord):
         orders = load_table(spark, sf_dir, "orders").select(
             "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp")
@@ -293,18 +298,14 @@ def text_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|shingles(A) ∩ shingles(B)| / |shingles(A)| for thinned-A ×
     same-lang-B pairs — quote/boilerplate inclusion detection.  The
     distinct 3-gram shingle arrays are built once per side; the ratio
-    of exact integer set sizes is rounded to 6 places."""
+    of exact integer set sizes is rounded to 6 places.  The shingle
+    definition is operators/dedup.py::shingles — the ONE spelling of
+    "distinct word 3-grams" in the repo, so a future shingles() change
+    (e.g. staging the token array) reaches this query too."""
+    from historic_score_etl_pipeline_spark.operators.dedup import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-            ),
-        )
-    )
-    sh = docs.select("doc_id", "lang", grams.alias("g"))
+    sh = docs.select("doc_id", "lang", shingles("text", 3).alias("g"))
     a = sh.where(F.col("doc_id") % _CONT_THIN == 0).select(
         F.col("doc_id").alias("id_a"), "lang", F.col("g").alias("ga")
     )

@@ -157,23 +157,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Par
         return ParityResult(
             name, False, f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
         )
+    # Driver contract is scalar-columns-only (CORRECTNESS_r03
+    # embed_quantize_int8, r04 agg_approx_percentile — same class on
+    # both the oracled and rows-only paths).  One rule, one place:
+    # scalar_only_violation() is the single spelling of the strictness
+    # the external canonicalizer imposes.
+    for side_pdf in (spark_pdf, oracle_pdf):
+        viol = scalar_only_violation(side_pdf)
+        if viol:
+            return ParityResult(name, False, viol)
     for c in sc:
         sk, ok_ = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
-        # Driver contract is scalar-columns-only: its canonicalizer sorts
-        # with pandas sort_values, which crashes on unhashable list/dict
-        # cells (CORRECTNESS_r03 embed_quantize_int8).  The local gate
-        # must be at least as strict as the driver, so raw array/map/
-        # struct outputs on an oracle-checked query are a hard FAIL —
-        # encode them (to_json / concat_ws) or explode to long format.
-        if sk in ("list", "dict") or ok_ in ("list", "dict"):
-            return ParityResult(
-                name,
-                False,
-                f"column '{c}' is a raw {sk if sk in ('list', 'dict') else ok_} "
-                f"— the driver's hash canonicalizer cannot sort unhashable "
-                f"cells; emit a string encoding (concat_ws/to_json) or "
-                f"explode to long format",
-            )
         if sk != ok_ and "empty" not in (sk, ok_):
             return ParityResult(
                 name,

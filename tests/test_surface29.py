@@ -204,3 +204,34 @@ def test_containment_matches_python(spark, sf_oracle):
     for k, v in got.items():
         assert abs(v - want[k]) <= 1  # python round() is banker's
     assert len(got) > 10
+
+
+def test_stale_bucketed_tables_are_reaped(spark, tmp_path, monkeypatch):
+    """saveAsTable fixtures leak a warehouse dir + a metastore row per
+    session (review finding r5: 35 accreted dirs).  A stale sibling —
+    deep-tree mtime older than the 6 h cutoff — must be dropped from
+    BOTH; a warm one and the current app's tables must survive."""
+    import os
+    import time as _time
+    from urllib.parse import urlparse
+
+    from historic_score_etl_pipeline_spark.contract import _staging
+
+    raw = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = urlparse(raw).path or raw
+    stale, warm = "hsep_bko_test_stale_app", "hsep_bko_test_warm_app"
+    for name in (stale, warm):
+        spark.range(1).write.mode("overwrite").saveAsTable(name)
+    old = _time.time() - 7 * 3600
+    for root, _dirs, files in os.walk(os.path.join(wh, stale)):
+        os.utime(root, (old, old))
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    os.utime(os.path.join(wh, stale), (old, old))
+
+    _staging.reap_stale_tables(spark, ("hsep_bko_",), {"hsep_bko_current"})
+
+    assert not spark.catalog.tableExists(stale)
+    assert not os.path.exists(os.path.join(wh, stale))
+    assert spark.catalog.tableExists(warm)
+    spark.sql(f"DROP TABLE IF EXISTS `{warm}`")
