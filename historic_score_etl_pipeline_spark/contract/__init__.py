@@ -69,6 +69,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface30,
         surface31,
         surface32,
+        surface33,
         windows,
     )
 
@@ -111,6 +112,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface30,
         surface31,
         surface32,
+        surface33,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -164,6 +166,12 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-39 (new in round 5) — fills the head-50 exactly
     "window_drawdown_max", "agg_kmv_intersection", "event_dow_profile",
     "str_url_canonicalize",
+    # batch-40 (new in round 5) — overflow slots 51+: these cannot get an
+    # external row this round (the harness checks the first 50), but
+    # pinning them keeps their priority ahead of the rotated backlog so
+    # they auto-promote into the r6 head as round-5 keys retire
+    "event_pattern_regex", "event_rfm_scores", "agg_gini_concentration",
+    "event_survival_km", "str_ipv4_aggregate",
 )
 
 # A key listed here stays in the head until a green external row from a
