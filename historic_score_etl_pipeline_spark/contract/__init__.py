@@ -70,6 +70,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface31,
         surface32,
         surface33,
+        surface34,
         windows,
     )
 
@@ -113,6 +114,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface31,
         surface32,
         surface33,
+        surface34,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -172,6 +174,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # they auto-promote into the r6 head as round-5 keys retire
     "event_pattern_regex", "event_rfm_scores", "agg_gini_concentration",
     "event_survival_km", "str_ipv4_aggregate",
+    # batch-41 (new in round 5) — overflow slots likewise
+    "event_cooccurrence_pmi", "window_winsorize_clip",
+    "text_split_doc_stitch", "agg_skew_kurt", "sql_any_all_semijoin",
 )
 
 # A key listed here stays in the head until a green external row from a
