@@ -303,6 +303,22 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row vocab-size scalar folded in as a broadcast DF (the r5
         # driver-free rewrite that removed the .first() job)
         "text_bigram_surprisal": {"BNLJ", "SINGLE_PART"},
+        # 1-row session-total scalar broadcast into the |types|²-bounded
+        # pair table (surface34: crossJoin(F.broadcast(sess))) — the
+        # approved scalar-broadcast idiom (ARCHITECTURE.md §"scalar
+        # folding rule"): the BNLJ side is exactly one row, the
+        # SinglePartition stage aggregates partial state, never data
+        "event_cooccurrence_pmi": {"BNLJ", "SINGLE_PART"},
+        # 1-row corpus-horizon scalar broadcast onto per-customer rows
+        # (surface33:122) — same approved idiom
+        "event_rfm_scores": {"BNLJ", "SINGLE_PART"},
+        # two 1-row scalars (horizon + cohort total) broadcast into the
+        # per-lifetime table (surface33:274,298) — same approved idiom
+        "event_survival_km": {"BNLJ", "SINGLE_PART"},
+        # global scalar subquery max (ANY/ALL rewrite) — one partial-
+        # state row through SinglePartition, the same class as
+        # subq_scalar_avg_qty / tpch_q6
+        "sql_any_all_semijoin": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
