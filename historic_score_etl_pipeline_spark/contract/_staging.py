@@ -97,6 +97,53 @@ def reap_stale_tables(
                 shutil.rmtree(full, ignore_errors=True)
 
 
+def warehouse_table_dir(spark: SparkSession, table: str) -> str:
+    """On-disk warehouse directory backing a ``saveAsTable`` table
+    (Spark lowercases table names on the filesystem)."""
+    from urllib.parse import urlparse
+
+    raw = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = urlparse(raw).path or raw
+    return os.path.join(wh, table.lower())
+
+
+def touch_table_heartbeat(spark: SparkSession, table: str) -> None:
+    """Bump a ``_HEARTBEAT`` marker inside the table's warehouse dir.
+
+    Reads never refresh parquet mtimes, so a session alive longer than
+    the reap window would look STALE to a newer concurrent session's
+    :func:`reap_stale_tables` even while actively joining against the
+    table (ADVICE r5).  Touching an underscore-prefixed marker (hidden
+    from Spark's file index, like ``_SUCCESS``) makes deep-tree-mtime
+    liveness reflect last *use*, not last write."""
+    hb = os.path.join(warehouse_table_dir(spark, table), "_HEARTBEAT")
+    try:
+        with open(hb, "a"):
+            pass
+        os.utime(hb, None)
+    except OSError:
+        pass
+
+
+def table_live(spark: SparkSession, table: str) -> bool:
+    """True iff the catalog row AND its warehouse data both exist.
+
+    A concurrent session's reaper may rmtree the data while this
+    session's Derby metastore keeps the row (each session has its own
+    metastore, so the reaper's DROP TABLE cannot reach it) — then
+    ``tableExists()`` alone would route to a read that fails on a
+    missing path.  When the dir is gone, drop the dangling row so the
+    caller rebuilds; when live, bump the heartbeat so THIS session's
+    continued use is visible to other sessions' reapers (ADVICE r5)."""
+    if not spark.catalog.tableExists(table):
+        return False
+    if not os.path.isdir(warehouse_table_dir(spark, table)):
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        return False
+    touch_table_heartbeat(spark, table)
+    return True
+
+
 def app_scoped_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     """Per-(kind, scale, application) staging path; reaps stale siblings
     of the same kind+scale on the way.  The dir itself is NOT created —

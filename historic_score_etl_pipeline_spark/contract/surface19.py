@@ -178,14 +178,20 @@ def _staged_blob_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _le32(binary_col: str, offset0: int):
-    """Little-endian int32 at 0-based ``offset0`` of a binary column,
-    parsed JVM-side: hex the 4 bytes, reverse byte order, conv base 16."""
+    """Little-endian SIGNED int32 at 0-based ``offset0`` of a binary
+    column, parsed JVM-side: hex the 4 bytes, reverse byte order, conv
+    base 16, then sign-extend.  BITMAPINFOHEADER height is signed (a
+    negative height marks a top-down BMP, which decode_bmp supports) —
+    without the sign extension a future top-down fixture would report a
+    ~4-billion bmp_h here while the pytest struct.unpack('<ii') twin
+    reads it as negative (ADVICE r5)."""
     hx = F.hex(F.substring(F.col(binary_col), offset0 + 1, 4))
     rev = F.concat(
         F.substring(hx, 7, 2), F.substring(hx, 5, 2),
         F.substring(hx, 3, 2), F.substring(hx, 1, 2),
     )
-    return F.conv(rev, 16, 10).cast("long")
+    raw = F.conv(rev, 16, 10).cast("long")
+    return F.when(raw >= F.lit(1 << 31), raw - F.lit(1 << 32)).otherwise(raw)
 
 
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:

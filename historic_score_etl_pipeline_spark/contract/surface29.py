@@ -56,18 +56,22 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from historic_score_etl_pipeline_spark.contract._staging import (
         reap_stale_tables,
+        table_live,
     )
 
     app = spark.sparkContext.applicationId.replace("-", "_")
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     t_ord, t_cust = f"hsep_bko_{tag}_{app}", f"hsep_bkc_{tag}_{app}"
     reap_stale_tables(spark, ("hsep_bko_", "hsep_bkc_"), {t_ord, t_cust})
-    if not spark.catalog.tableExists(t_ord):
+    # table_live (not bare tableExists): rebuilds when a concurrent
+    # session's reaper removed the data under a surviving catalog row,
+    # and heartbeats the dirs so THIS session's use keeps them warm
+    if not table_live(spark, t_ord):
         orders = load_table(spark, sf_dir, "orders").select(
             "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp")
         )
         write_bucketed(orders, t_ord, "o_custkey", _BKT)
-    if not spark.catalog.tableExists(t_cust):
+    if not table_live(spark, t_cust):
         cust = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
         )

@@ -146,6 +146,23 @@ def scalar_only_violation(pdf: pd.DataFrame) -> str | None:
                 f"cells; emit a string encoding (concat_ws/to_json) or "
                 f"explode to long format"
             )
+        # _dtype_kind judges an object column by its FIRST non-null cell;
+        # a CASE/coalesce mixing encodings could lead with a scalar and
+        # hide lists further down (ADVICE r5) — scan EVERY cell here,
+        # since this gate is what stands between a query and a driver
+        # crash on the external canonicalizer's sort
+        if pdf[c].dtype == object:
+            bad = pdf[c].map(
+                lambda v: isinstance(v, (list, tuple, dict, set))
+                or type(v).__name__ == "ndarray"
+            )
+            if bad.any():
+                return (
+                    f"column '{c}' mixes scalar and list/dict cells "
+                    f"(first-cell kind '{k}' but a later cell is "
+                    f"unhashable) — same driver-crash class; string-encode "
+                    f"or explode"
+                )
     return None
 
 

@@ -158,6 +158,25 @@ def test_rows_only_array_output_fails_local_gate(tmp_path):
     assert scalar_only_violation(bad.drop(columns=["pcts"])) is None
 
 
+def test_mixed_scalar_then_list_column_fails_local_gate():
+    """ADVICE r5: _dtype_kind judges an object column by its FIRST
+    non-null cell, so a CASE/coalesce mixing encodings could lead with
+    a scalar and hide a list in row 2 — the gate must scan every cell,
+    since the external canonicalizer crashes on ANY unhashable cell."""
+    import pandas as pd
+
+    from historic_score_etl_pipeline_spark.testing import (
+        scalar_only_violation,
+    )
+
+    sneaky = pd.DataFrame({"k": ["a", "b"], "v": ["scalar-first", [1, 2]]})
+    msg = scalar_only_violation(sneaky)
+    assert msg is not None and "mixes scalar" in msg
+    # scalar-only object column with Nones still passes
+    ok = pd.DataFrame({"k": ["a", "b"], "v": [None, "x"]})
+    assert scalar_only_violation(ok) is None
+
+
 def test_compare_rejects_live_uncast_duckdb_sum():
     """End-to-end: an oracle written without CAST(sum(...) AS BIGINT)
     must fail compare() against an int64 Spark result."""

@@ -235,3 +235,42 @@ def test_stale_bucketed_tables_are_reaped(spark, tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(wh, stale))
     assert spark.catalog.tableExists(warm)
     spark.sql(f"DROP TABLE IF EXISTS `{warm}`")
+
+
+def test_table_live_rebuild_and_heartbeat(spark):
+    """ADVICE r5: a concurrent session's reaper can rmtree a table's
+    warehouse data while THIS session's Derby metastore keeps the row.
+    table_live must (a) detect the dangling row, drop it, and return
+    False so the caller rebuilds; (b) on a live table, bump a
+    _HEARTBEAT marker so deep-tree-mtime liveness reflects last USE —
+    a >6h session re-reading its tables must look warm to other
+    sessions' reapers."""
+    import os
+    import shutil
+    import time as _time
+
+    from historic_score_etl_pipeline_spark.contract import _staging
+
+    t = "hsep_bko_test_live_app"
+    spark.range(3).write.mode("overwrite").saveAsTable(t)
+    d = _staging.warehouse_table_dir(spark, t)
+    assert os.path.isdir(d)
+
+    # live: returns True and refreshes the heartbeat (tree mtime)
+    before = _time.time() - 10
+    for root, _dirs, files in os.walk(d):
+        os.utime(root, (before, before))
+        for f in files:
+            os.utime(os.path.join(root, f), (before, before))
+    assert _staging.table_live(spark, t) is True
+    hb = os.path.join(d, "_HEARTBEAT")
+    assert os.path.exists(hb)
+    assert _staging.tree_mtime(d) > before + 5
+    # the marker must not change what Spark reads back
+    assert spark.table(t).count() == 3
+
+    # dangling: data gone, catalog row survives -> False + row dropped
+    shutil.rmtree(d)
+    assert spark.catalog.tableExists(t)
+    assert _staging.table_live(spark, t) is False
+    assert not spark.catalog.tableExists(t)
