@@ -71,6 +71,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface32,
         surface33,
         surface34,
+        surface35,
         windows,
     )
 
@@ -115,6 +116,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface32,
         surface33,
         surface34,
+        surface35,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -177,6 +179,13 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-41 (new in round 5) — overflow slots likewise
     "event_cooccurrence_pmi", "window_winsorize_clip",
     "text_split_doc_stitch", "agg_skew_kurt", "sql_any_all_semijoin",
+    # re-pinned round 6: oracle upgraded rows-only → hash (VERDICT r5
+    # asks #3/#4) — the stricter oracle needs its own external row
+    "dedup_simhash", "udtf_explode_matches",
+    # batch-42 (new in round 6) — pinned so each gets an external row in
+    # its first round of existence
+    "str_base64_roundtrip", "str_initcap_title", "str_translate_sub",
+    "str_pad_fixed_width", "sql_not_in_null_semantics",
 )
 
 # A key listed here stays in the head until a green external row from a
@@ -190,6 +199,8 @@ _REPIN_MIN_ROUND: dict[str, int] = {
     "dedup_near_minhash": 5,    # rows-only green r1; md5-replay oracle r5
     "anomaly_mad_robust": 5,    # hash green r4; cents-fixpoint rewrite r5
     "agg_approx_percentile": 5,  # red r4; scalar-columns repair r5
+    "dedup_simhash": 6,          # rows-only green r1; md5 hash oracle r6
+    "udtf_explode_matches": 6,   # rows-only green r1; chunker oracle r6
 }
 
 # Externally verified green in round 1 (CORRECTNESS_r01.json: hash_match or

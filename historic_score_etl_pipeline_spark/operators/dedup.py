@@ -345,11 +345,10 @@ def lsh_candidate_pairs_incremental(
     )
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over word shingles: per-bit majority vote of shingle
-    hashes, expressed with bit ops inside aggregate-over-array — no UDF."""
-    sh = shingles(col, n=2)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+def _simhash_majority(hashes: Column, n_bits: int) -> Column:
+    """Per-bit majority vote over an array of integer hashes → packed
+    signature: bit i is set iff more hashes have bit i set than clear.
+    Pure bit ops inside aggregate-over-array — no UDF."""
     bits = [
         F.when(
             F.aggregate(
@@ -363,12 +362,33 @@ def simhash64(col: Column | str) -> Column:
             > 0,
             F.lit(1 << i).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for i in range(16)  # 16 bits keeps expression tree manageable
+        for i in range(n_bits)
     ]
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def simhash64(col: Column | str) -> Column:
+    """16-bit SimHash over word 2-gram shingles, xxhash64 base — the
+    fast path (one JVM hash per shingle)."""
+    sh = shingles(col, n=2)
+    return _simhash_majority(F.transform(sh, lambda s: F.xxhash64(s)), 16)
+
+
+def simhash_portable(col: Column | str) -> Column:
+    """16-bit SimHash with an md5-derived base hash (low 60 bits of the
+    digest), replayable bit-for-bit in any engine with md5 — the same
+    portability trick as ``minhash_signature(portable=True)``.  The
+    xxhash64 path (:func:`simhash64`) stays the production default; the
+    two share the majority-vote fold, so the oracle exercises all the
+    arithmetic past the base hash."""
+    sh = shingles(col, n=2)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    return _simhash_majority(hashes, 16)
 
 
 def near_dup_jaccard(
