@@ -319,6 +319,10 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # state row through SinglePartition, the same class as
         # subq_scalar_avg_qty / tpch_q6
         "sql_any_all_semijoin": {"SINGLE_PART"},
+        # four global count(*) scalar subqueries, each exchanging ONE
+        # partial-state row (the whole query RETURNS one row) — the
+        # scalar-subquery class per ARCHITECTURE.md §scalar folding rule
+        "sql_not_in_null_semantics": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
