@@ -72,6 +72,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface33,
         surface34,
         surface35,
+        surface36,
         windows,
     )
 
@@ -117,6 +118,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface33,
         surface34,
         surface35,
+        surface36,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -186,6 +188,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # its first round of existence
     "str_base64_roundtrip", "str_initcap_title", "str_translate_sub",
     "str_pad_fixed_width", "sql_not_in_null_semantics",
+    # batch-43 (new in round 6) — pinned likewise
+    "agg_harmonic_mean", "agg_trimmed_mean", "agg_weighted_median",
+    "event_user_type_entropy", "sql_grouping_id",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -144,6 +144,29 @@ def test_survival_km_term_boundaries(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", _SCALES)
+def test_user_entropy_term_boundaries(sf_dir):
+    # event_user_type_entropy (batch-43): ln(n/c) per (user, type)
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        WITH ct AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
+        )
+        SELECT DISTINCT sum(c) OVER (PARTITION BY user_id) AS n, c FROM ct
+        """
+    ).fetchall()
+    assert rows
+    for n, c in rows:
+        x = math.log(float(n) / float(c)) * 1e6
+        assert _frac_margin(x) > _MARGIN, (
+            f"entropy boundary collision at {sf_dir}: "
+            f"ln({n}/{c})*1e6 = {x!r}"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", _SCALES)
 def test_pmi_ratio_boundaries(sf_dir):
     con = _con(sf_dir)
     rows = con.execute(
