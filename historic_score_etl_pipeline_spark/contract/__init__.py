@@ -73,6 +73,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface34,
         surface35,
         surface36,
+        surface37,
         windows,
     )
 
@@ -119,6 +120,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface34,
         surface35,
         surface36,
+        surface37,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -191,6 +193,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-43 (new in round 6) — pinned likewise
     "agg_harmonic_mean", "agg_trimmed_mean", "agg_weighted_median",
     "event_user_type_entropy", "sql_grouping_id",
+    # batch-44 (new in round 6) — pinned likewise
+    "event_stickiness_dau_wau", "event_bounce_rate",
+    "event_new_vs_returning", "event_hour_heatmap", "event_streak_longest",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -323,6 +323,16 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # partial-state row (the whole query RETURNS one row) — the
         # scalar-subquery class per ARCHITECTURE.md §scalar folding rule
         "sql_not_in_null_semantics": {"SINGLE_PART"},
+        # the trailing-7d window joins the DISTINCT (user, day) table to
+        # a broadcast |days|-row calendar dim on a 0..6 offset — a
+        # dim-sized BNLJ build side, ≤7× fan-out of the pre-shrunk table
+        "event_stickiness_dau_wau": {"BNLJ"},
+        # global running sum over the |days|-row daily aggregate — one
+        # partial-state row per day through SinglePartition, never facts
+        "event_new_vs_returning": {"SINGLE_PART"},
+        # 1-row total scalar broadcast onto the 168-row (dow, hour) grid
+        # (ARCHITECTURE.md §scalar folding rule)
+        "event_hour_heatmap": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
