@@ -74,6 +74,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface35,
         surface36,
         surface37,
+        surface38,
         windows,
     )
 
@@ -121,6 +122,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface35,
         surface36,
         surface37,
+        surface38,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -196,6 +198,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-44 (new in round 6) — pinned likewise
     "event_stickiness_dau_wau", "event_bounce_rate",
     "event_new_vs_returning", "event_hour_heatmap", "event_streak_longest",
+    # batch-45 (new in round 6) — pinned likewise
+    "hof_reduce_weighted", "map_group_entries", "array_setops_sorted",
+    "window_ratio_to_report", "graph_degree_distribution",
 )
 
 # A key listed here stays in the head until a green external row from a
