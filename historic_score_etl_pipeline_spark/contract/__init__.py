@@ -75,6 +75,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface36,
         surface37,
         surface38,
+        surface39,
         windows,
     )
 
@@ -123,6 +124,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface36,
         surface37,
         surface38,
+        surface39,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -201,6 +203,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-45 (new in round 6) — pinned likewise
     "hof_reduce_weighted", "map_group_entries", "array_setops_sorted",
     "window_ratio_to_report", "graph_degree_distribution",
+    # batch-46 (new in round 6) — pinned likewise
+    "dedup_prefix_truncation", "text_trigram_diversity",
+    "text_vocab_growth", "embed_dim_stats_exact", "embed_nearest_centroid",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -333,6 +333,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row total scalar broadcast onto the 168-row (dow, hour) grid
         # (ARCHITECTURE.md §scalar folding rule)
         "event_hour_heatmap": {"BNLJ", "SINGLE_PART"},
+        # cumulative-vocabulary window over the |buckets|-row (≤ docs/50)
+        # aggregate — partial-state rows only, never token rows
+        "text_vocab_growth": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
