@@ -76,6 +76,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface37,
         surface38,
         surface39,
+        surface40,
         windows,
     )
 
@@ -125,6 +126,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface37,
         surface38,
         surface39,
+        surface40,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -206,6 +208,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-46 (new in round 6) — pinned likewise
     "dedup_prefix_truncation", "text_trigram_diversity",
     "text_vocab_growth", "embed_dim_stats_exact", "embed_nearest_centroid",
+    # batch-47 (new in round 6) — pinned likewise
+    "sink_dynamic_partition_overwrite", "scan_tsv_gzip",
+    "stream_hopping_counts", "agg_geometric_mean", "join_values_inline_dim",
 )
 
 # A key listed here stays in the head until a green external row from a
