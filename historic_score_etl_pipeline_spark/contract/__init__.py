@@ -77,6 +77,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface38,
         surface39,
         surface40,
+        surface41,
         windows,
     )
 
@@ -127,6 +128,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface38,
         surface39,
         surface40,
+        surface41,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -211,6 +213,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-47 (new in round 6) — pinned likewise
     "sink_dynamic_partition_overwrite", "scan_tsv_gzip",
     "stream_hopping_counts", "agg_geometric_mean", "join_values_inline_dim",
+    # batch-48 (new in round 6) — pinned likewise (head-50 = 12 carry-over
+    # + 35 new keys + 3 rotated-backlog slack)
+    "text_bm25_score", "text_kwic_context", "text_inverted_postings",
+    "sample_poisson_bootstrap", "event_order_gap_stats",
 )
 
 # A key listed here stays in the head until a green external row from a

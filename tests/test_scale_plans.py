@@ -336,6 +336,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # cumulative-vocabulary window over the |buckets|-row (≤ docs/50)
         # aggregate — partial-state rows only, never token rows
         "text_vocab_growth": {"SINGLE_PART"},
+        # 1-row (n_docs, avgdl) corpus scalar broadcast into the per-hit
+        # scoring table (ARCHITECTURE.md §scalar folding rule)
+        "text_bm25_score": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
