@@ -17,8 +17,11 @@ times with key-shifted copies:
 * ``documents`` shifts doc_id and SUFFIXES EVERY TOKEN with the copy
   index — without that, clones would band-collide in LSH and the
   candidate-pair count would blow up 45× instead of scaling linearly.
-* dims (region/nation/part/supplier) and events/embeddings are copied
-  1×: none of the five heavies joins through them at sf1 (documented
+* ``events`` shifts (event_id, user_id) by copy-index strides (since
+  _BUILT_v2) → ten disjoint user populations, so the per-user funnel
+  and rolling-median heavies scale in rows, not in per-user history.
+* dims (region/nation/part/supplier) and embeddings are copied 1×:
+  none of the heavies joins through them at sf1 (documented
   limitation — this replica is a THROUGHPUT fixture, not a
   correctness fixture; correctness always runs on driver testdata).
 
@@ -54,13 +57,20 @@ HEAVIES = [
     "graph_pagerank",
     "dedup_pipeline_e2e",
     "text_bigram_surprisal",
+    # round-6 additions (VERDICT r5 ask #6): the heaviest new queries
+    "dedup_minhash_jaccard_est",   # documents (tiled, token-suffixed)
+    "event_funnel_conversion",     # events (tiled since _BUILT_v2)
+    "window_rolling_median",       # events (tiled since _BUILT_v2)
 ]
+
+STRIDE_EVENT = 10_000_000
+STRIDE_USER = 100_000
 
 
 def build_sf1() -> None:
     import duckdb
 
-    marker = os.path.join(OUT, "_BUILT_v1")
+    marker = os.path.join(OUT, "_BUILT_v2")
     if os.path.exists(marker):
         return
     shutil.rmtree(OUT, ignore_errors=True)
@@ -103,7 +113,13 @@ def build_sf1() -> None:
         "regexp_replace(text, '(\\S+)', '\\1x{i}', 'g') AS text, "
         "lang, source, n_chars FROM {src}",
     )
-    for table in ("region", "nation", "part", "supplier", "events",
+    tile(
+        "events",
+        f"SELECT event_id + {{i}} * {STRIDE_EVENT} AS event_id, ts, "
+        f"user_id + {{i}} * {STRIDE_USER} AS user_id, "
+        "event_type, value, props FROM {src}",
+    )
+    for table in ("region", "nation", "part", "supplier",
                   "embeddings"):
         shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT}/{table}.parquet")
     with open(marker, "w") as f:
