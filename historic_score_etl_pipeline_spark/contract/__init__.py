@@ -78,6 +78,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface39,
         surface40,
         surface41,
+        surface42,
         windows,
     )
 
@@ -129,6 +130,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface39,
         surface40,
         surface41,
+        surface42,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -217,6 +219,12 @@ _ROUND_HEAD: tuple[str, ...] = (
     # + 35 new keys + 3 rotated-backlog slack)
     "text_bm25_score", "text_kwic_context", "text_inverted_postings",
     "sample_poisson_bootstrap", "event_order_gap_stats",
+    # batch-49 (new in round 6) — overflow slots 51+ (the harness checks
+    # the first 50): pinned so they auto-promote into round 7's head as
+    # round-6 keys retire, exactly the r5 batch-40/41 pattern
+    "event_growth_accounting", "text_js_divergence",
+    "text_length_outliers_iqr", "sample_balance_downsample",
+    "scan_csv_permissive_dlq",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -339,6 +339,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row (n_docs, avgdl) corpus scalar broadcast into the per-hit
         # scoring table (ARCHITECTURE.md §scalar folding rule)
         "text_bm25_score": {"BNLJ", "SINGLE_PART"},
+        # |langs|²-row pair dim broadcast onto the vocab grid — a tiny
+        # (≤ 10-row) build side, never data-sized
+        "text_js_divergence": {"BNLJ"},
+        # 1-row minority-class-size scalar broadcast onto the ranked docs
+        # (ARCHITECTURE.md §scalar folding rule)
+        "sample_balance_downsample": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
