@@ -79,6 +79,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface40,
         surface41,
         surface42,
+        surface43,
         windows,
     )
 
@@ -131,6 +132,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface40,
         surface41,
         surface42,
+        surface43,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -225,6 +227,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "event_growth_accounting", "text_js_divergence",
     "text_length_outliers_iqr", "sample_balance_downsample",
     "scan_csv_permissive_dlq",
+    # batch-50 (new in round 6) — overflow slots likewise
+    "text_doc_surprisal_unigram", "str_hex_unhex_roundtrip",
+    "array_flatten_nested", "agg_quarter_rollup", "embed_zscore_outlier",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -345,6 +345,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row minority-class-size scalar broadcast onto the ranked docs
         # (ARCHITECTURE.md §scalar folding rule)
         "sample_balance_downsample": {"BNLJ", "SINGLE_PART"},
+        # 1-row corpus-token-total scalar broadcast into the unigram LM
+        # join (ARCHITECTURE.md §scalar folding rule)
+        "text_doc_surprisal_unigram": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
