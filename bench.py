@@ -67,6 +67,9 @@ HEADLINE = [
     "window_rolling_median",  # exact lower median over trailing frame (r5)
     "dedup_minhash_jaccard_est",  # portable MinHash chain + sig joins (r5)
     "text_zipf_slope",  # explode -> rank window -> fixpointed regression (r5)
+    "text_bm25_score",  # integerized BM25: explode + 2 joins + scalar fold (r6)
+    "embed_nearest_centroid",  # k-way centroid distance + argmin window (r6)
+    "event_stickiness_dau_wau",  # distinct-shrink + 7x calendar fan-out (r6)
 ]
 
 
@@ -81,6 +84,21 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence the benign post-execution accumulator race (BENCH_r05 tail,
+    # reproduced r6: ~400 "Failed to update accumulator (Unknown class)"
+    # lines in ONE second): straggler tasks of a build-time job report
+    # SQL-metric accumulators after the next query's execution already
+    # GC'd them.  Timing-dependent (needs ambient load), harmless (rc=0,
+    # every figure parses), but it pollutes the recorded bench artifact —
+    # so the DAGScheduler logger runs at FATAL for the bench only.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # logging API drift must never break the bench
     # Load phase (untimed): the driver's parquet has ONE row group per
     # table, so scans cannot parallelize at all as-given.  Stage the
     # landing zone into the engine's multi-split layout once — the analog

@@ -168,6 +168,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
+    # same benign accumulator-race silencing as bench.py
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass
     # same small-file split policy as bench.py — the staged files are far
     # under the default 128 MB split, so scans would collapse to 1 task
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))

@@ -80,6 +80,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface41,
         surface42,
         surface43,
+        surface44,
         windows,
     )
 
@@ -133,6 +134,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface41,
         surface42,
         surface43,
+        surface44,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -230,6 +232,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-50 (new in round 6) — overflow slots likewise
     "text_doc_surprisal_unigram", "str_hex_unhex_roundtrip",
     "array_flatten_nested", "agg_quarter_rollup", "embed_zscore_outlier",
+    # batch-51 (new in round 6) — overflow slots likewise
+    "event_cohort_ltv", "event_feature_assembly",
+    "agg_variance_merge_proof", "str_from_csv_parse", "audit_fk_orphans",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -348,6 +348,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row corpus-token-total scalar broadcast into the unigram LM
         # join (ARCHITECTURE.md §scalar folding rule)
         "text_doc_surprisal_unigram": {"BNLJ", "SINGLE_PART"},
+        # 1-row corpus-horizon scalar broadcast onto the per-user
+        # feature rows (ARCHITECTURE.md §scalar folding rule)
+        "event_feature_assembly": {"BNLJ", "SINGLE_PART"},
+        # each FK edge crossJoins two 1-row count scalars (child total ×
+        # orphan total) — the whole output is 3 rows
+        "audit_fk_orphans": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
