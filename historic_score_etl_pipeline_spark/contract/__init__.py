@@ -81,6 +81,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface42,
         surface43,
         surface44,
+        surface45,
         windows,
     )
 
@@ -135,6 +136,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface42,
         surface43,
         surface44,
+        surface45,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -235,6 +237,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-51 (new in round 6) — overflow slots likewise
     "event_cohort_ltv", "event_feature_assembly",
     "agg_variance_merge_proof", "str_from_csv_parse", "audit_fk_orphans",
+    # batch-52 (new in round 6) — overflow slots likewise
+    "window_tumbling_15min", "scan_json_nested_explode",
+    "sql_cte_share_of_total",
+    "window_rank_variants", "event_ab_test_lift",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -354,6 +354,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # each FK edge crossJoins two 1-row count scalars (child total ×
         # orphan total) — the whole output is 3 rows
         "audit_fk_orphans": {"BNLJ", "SINGLE_PART"},
+        # global share-of-total window over the |statuses|-row CTE
+        # aggregate — partial-state rows only
+        "sql_cte_share_of_total": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
