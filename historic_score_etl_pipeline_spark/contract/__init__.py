@@ -82,6 +82,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface43,
         surface44,
         surface45,
+        surface46,
         windows,
     )
 
@@ -137,6 +138,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface43,
         surface44,
         surface45,
+        surface46,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -241,6 +243,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_tumbling_15min", "scan_json_nested_explode",
     "sql_cte_share_of_total",
     "window_rank_variants", "event_ab_test_lift",
+    # batch-53 (new in round 6) — overflow slots likewise
+    "text_collocation_llr", "text_quality_composite_gate",
+    "dedup_embed_exact", "sample_balance_upsample", "scan_text_wholefile",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -357,6 +357,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # global share-of-total window over the |statuses|-row CTE
         # aggregate — partial-state rows only
         "sql_cte_share_of_total": {"SINGLE_PART"},
+        # 1-row bigram-total scalar broadcast into the contingency join
+        # (ARCHITECTURE.md §scalar folding rule)
+        "text_collocation_llr": {"BNLJ", "SINGLE_PART"},
+        # 1-row majority-class-target scalar broadcast onto ranked docs
+        # (same rule as sample_balance_downsample)
+        "sample_balance_upsample": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
