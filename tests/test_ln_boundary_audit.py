@@ -167,6 +167,75 @@ def test_user_entropy_term_boundaries(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", _SCALES)
+def test_geometric_mean_cents_boundaries(sf_dir):
+    # agg_geometric_mean (batch-47): ln(cents) over every distinct cents
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+        """
+    ).fetchall()
+    assert rows
+    for (c,) in rows:
+        if c <= 0:
+            continue
+        x = math.log(float(c)) * 1e6
+        assert _frac_margin(x) > _MARGIN, (
+            f"GM boundary collision at {sf_dir}: ln({c})*1e6 = {x!r}"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", _SCALES)
+def test_unigram_surprisal_ratio_boundaries(sf_dir):
+    # text_doc_surprisal_unigram (batch-50): ln(T/c) per corpus token
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        WITH tok AS (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            x -> x <> '')) AS t
+          FROM documents
+        ), c AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+        SELECT DISTINCT (SELECT sum(c) FROM c) AS total, c FROM c
+        """
+    ).fetchall()
+    assert rows
+    for total, c in rows:
+        x = math.log(float(total) / float(c)) * 1e6
+        assert _frac_margin(x) > _MARGIN, (
+            f"unigram boundary collision at {sf_dir}: "
+            f"ln({total}/{c})*1e6 = {x!r}"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", _SCALES)
+def test_bm25_idf_boundaries(sf_dir):
+    # text_bm25_score (batch-48): ln((2N-2df+1)/(2df+1)) per query term
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            x -> x <> '')) AS t
+          FROM documents
+        )
+        SELECT (SELECT count(DISTINCT doc_id) FROM tok) AS n,
+               count(DISTINCT doc_id) AS df
+        FROM tok WHERE t IN ('spark', 'query', 'table') GROUP BY t
+        """
+    ).fetchall()
+    assert rows
+    for n, df in rows:
+        x = math.log((2 * n - 2 * df + 1) / (2 * df + 1)) * 1e6
+        assert _frac_margin(x) > _MARGIN, (
+            f"BM25 idf boundary collision at {sf_dir}: N={n} df={df}"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", _SCALES)
 def test_pmi_ratio_boundaries(sf_dir):
     con = _con(sf_dir)
     rows = con.execute(
