@@ -83,6 +83,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface44,
         surface45,
         surface46,
+        surface47,
         windows,
     )
 
@@ -139,6 +140,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface44,
         surface45,
         surface46,
+        surface47,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -246,6 +248,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-53 (new in round 6) — overflow slots likewise
     "text_collocation_llr", "text_quality_composite_gate",
     "dedup_embed_exact", "sample_balance_upsample", "scan_text_wholefile",
+    # batch-54 (new in round 6) — overflow slots likewise
+    "window_range_value_frame", "agg_bitwise_ops", "text_affix_freq",
+    "join_dim_grid_fill", "setop_intersect_all",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -363,6 +363,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row majority-class-target scalar broadcast onto ranked docs
         # (same rule as sample_balance_downsample)
         "sample_balance_upsample": {"BNLJ", "SINGLE_PART"},
+        # 5-region × |priorities| dim cross — both sides tiny broadcast
+        # dims, the grid itself IS the output
+        "join_dim_grid_fill": {"BNLJ"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
