@@ -84,6 +84,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface45,
         surface46,
         surface47,
+        surface48,
         windows,
     )
 
@@ -141,6 +142,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface45,
         surface46,
         surface47,
+        surface48,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -251,6 +253,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-54 (new in round 6) — overflow slots likewise
     "window_range_value_frame", "agg_bitwise_ops", "text_affix_freq",
     "join_dim_grid_fill", "setop_intersect_all",
+    # batch-55 (new in round 6) — overflow slots likewise
+    "dedup_simhash_hamming", "event_forecast_dow_naive",
+    "str_printf_render", "window_lag_offset_default",
+    "event_path_to_purchase",
 )
 
 # A key listed here stays in the head until a green external row from a

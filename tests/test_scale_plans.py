@@ -366,6 +366,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 5-region × |priorities| dim cross — both sides tiny broadcast
         # dims, the grid itself IS the output
         "join_dim_grid_fill": {"BNLJ"},
+        # 1-row max-day scalar broadcast onto the |days|-row daily
+        # aggregate (ARCHITECTURE.md §scalar folding rule)
+        "event_forecast_dow_naive": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
