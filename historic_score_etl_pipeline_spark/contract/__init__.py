@@ -85,6 +85,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface46,
         surface47,
         surface48,
+        surface49,
         windows,
     )
 
@@ -143,6 +144,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface46,
         surface47,
         surface48,
+        surface49,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -257,6 +259,11 @@ _ROUND_HEAD: tuple[str, ...] = (
     "dedup_simhash_hamming", "event_forecast_dow_naive",
     "str_printf_render", "window_lag_offset_default",
     "event_path_to_purchase",
+    # batch-56 (new in round 6) — overflow slots likewise (completes
+    # TPC-H: all 22 queries now implemented + oracled)
+    "tpch_q13_cust_distribution", "tpch_q17_small_qty_revenue",
+    "event_attribution_linear", "audit_table_checksum",
+    "text_greedy_wrap_lines",
 )
 
 # A key listed here stays in the head until a green external row from a

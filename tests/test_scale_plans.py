@@ -371,6 +371,10 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "event_forecast_dow_naive": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
+        # global 1-row scalar output (decorrelated Q17 aggregate) — one
+        # partial-state row per task through SinglePartition, the same
+        # class as tpch_q6/tpch_q14
+        "tpch_q17_small_qty_revenue": {"SINGLE_PART"},
         "tpch_q14_promo_share": {"SINGLE_PART"},
         "tpch_q15_top_supplier": {"SINGLE_PART"},
         "tpch_q19_disjunctive": {"SINGLE_PART"},
