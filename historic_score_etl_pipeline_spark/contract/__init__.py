@@ -86,6 +86,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface47,
         surface48,
         surface49,
+        surface50,
         windows,
     )
 
@@ -145,6 +146,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface47,
         surface48,
         surface49,
+        surface50,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -264,6 +266,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "tpch_q13_cust_distribution", "tpch_q17_small_qty_revenue",
     "event_attribution_linear", "audit_table_checksum",
     "text_greedy_wrap_lines",
+    # batch-57 (new in round 6) — overflow slots likewise
+    "str_parse_url_parts", "array_explode_outer_null",
+    "date_business_days", "text_rake_phrases", "setop_union_by_name",
 )
 
 # A key listed here stays in the head until a green external row from a
