@@ -87,6 +87,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface48,
         surface49,
         surface50,
+        surface51,
         windows,
     )
 
@@ -147,6 +148,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface48,
         surface49,
         surface50,
+        surface51,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -269,6 +271,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-57 (new in round 6) — overflow slots likewise
     "str_parse_url_parts", "array_explode_outer_null",
     "date_business_days", "text_rake_phrases", "setop_union_by_name",
+    # batch-58 (new in round 6) — overflow slots likewise
+    "embed_lsh_hyperplane", "graph_bipartite_jaccard",
+    "event_forecast_moving_avg", "text_chao1_richness",
+    "event_funnel_time_bounded",
 )
 
 # A key listed here stays in the head until a green external row from a

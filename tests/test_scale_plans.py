@@ -369,6 +369,15 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row max-day scalar broadcast onto the |days|-row daily
         # aggregate (ARCHITECTURE.md §scalar folding rule)
         "event_forecast_dow_naive": {"BNLJ", "SINGLE_PART"},
+        # 1-row broadcast 16x64 hyperplane matrix (scalar-folding rule):
+        # the BNLJ build side is exactly one row, never data-sized
+        "embed_lsh_hyperplane": {"BNLJ"},
+        # global trailing-7d window over the |days|-row daily aggregate —
+        # partial-state rows only (same class as event_new_vs_returning)
+        "event_forecast_moving_avg": {"SINGLE_PART"},
+        # single-row funnel summary — one partial-state row per task
+        # through SinglePartition (scalar-aggregate class)
+        "event_funnel_time_bounded": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
