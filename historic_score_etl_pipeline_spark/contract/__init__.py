@@ -88,6 +88,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface49,
         surface50,
         surface51,
+        surface52,
         windows,
     )
 
@@ -149,6 +150,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface49,
         surface50,
         surface51,
+        surface52,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -275,6 +277,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "embed_lsh_hyperplane", "graph_bipartite_jaccard",
     "event_forecast_moving_avg", "text_chao1_richness",
     "event_funnel_time_bounded",
+    # batch-59 (new in round 6) — overflow slots likewise
+    "sink_csv_quoting_roundtrip", "sample_stratified_topn",
+    "event_sequence_trigrams", "date_iso_week_boundary",
+    "sql_relational_division",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -378,6 +378,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # single-row funnel summary — one partial-state row per task
         # through SinglePartition (scalar-aggregate class)
         "event_funnel_time_bounded": {"SINGLE_PART"},
+        # 1-row broadcast distinct-type total (division via count-
+        # distinct, scalar-folding rule)
+        "sql_relational_division": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
