@@ -89,6 +89,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface50,
         surface51,
         surface52,
+        surface53,
         windows,
     )
 
@@ -151,6 +152,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface50,
         surface51,
         surface52,
+        surface53,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -281,6 +283,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "sink_csv_quoting_roundtrip", "sample_stratified_topn",
     "event_sequence_trigrams", "date_iso_week_boundary",
     "sql_relational_division",
+    # batch-60 (new in round 6) — overflow slots likewise
+    "agg_hll_intersection", "scan_csv_multichar_delim",
+    "date_month_end_rollup", "event_concurrent_intervals_max",
+    "sql_pivot_dynamic",
 )
 
 # A key listed here stays in the head until a green external row from a

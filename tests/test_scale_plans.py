@@ -381,6 +381,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row broadcast distinct-type total (division via count-
         # distinct, scalar-folding rule)
         "sql_relational_division": {"BNLJ", "SINGLE_PART"},
+        # 3-tag sketch fold -> one-row inclusion-exclusion output
+        # (scalar-aggregate class, 768 register rows of state)
+        "agg_hll_intersection": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
