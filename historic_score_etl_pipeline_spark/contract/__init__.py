@@ -90,6 +90,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface51,
         surface52,
         surface53,
+        surface54,
         windows,
     )
 
@@ -153,6 +154,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface51,
         surface52,
         surface53,
+        surface54,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -287,6 +289,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "agg_hll_intersection", "scan_csv_multichar_delim",
     "date_month_end_rollup", "event_concurrent_intervals_max",
     "sql_pivot_dynamic",
+    # batch-61 (new in round 6) — overflow slots likewise
+    "agg_sum_distinct", "sample_rendezvous_hash",
+    "embed_prefix_topk_overlap", "event_error_rate_wilson",
+    "multimodal_image_ahash",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -580,3 +580,59 @@ def png_roundtrip_from_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         batches, PNG_ROUNDTRIP_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+        StructField("n_ones", LongType()),
+    ]
+)
+
+
+def ahash_64(img: np.ndarray) -> tuple[int, int, int]:
+    """Perceptual average-hash over a decoded (H, W, 3) image, ALL in
+    integer arithmetic so an external SQL oracle can replay it exactly:
+    gray = (R+G+B) div 3; pixel (r, c) maps to 8×8 cell
+    (r·8 div H, c·8 div W); cell value = div-mean of its grays; bit =
+    cell > div-mean of the 64 cells.  Returns (hi32, lo32, popcount)."""
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    br = (np.arange(h) * 8) // h
+    bc = (np.arange(w) * 8) // w
+    sums = np.zeros((8, 8), dtype=np.int64)
+    cnts = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(sums, (br[:, None].repeat(w, 1), bc[None, :].repeat(h, 0)), gray)
+    np.add.at(cnts, (br[:, None].repeat(w, 1), bc[None, :].repeat(h, 0)), 1)
+    cells = sums // cnts
+    gmean = int(cells.sum()) // 64
+    bits = (cells > gmean).astype(np.int64).reshape(-1)  # index = br*8+bc
+    hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+    lo = sum(1 << i for i in range(32) if bits[i])
+    return hi, lo, int(bits.sum())
+
+
+def image_ahash(docs: DataFrame) -> DataFrame:
+    """Render → REAL BMP decode → integer aHash, Arrow-batched.  The
+    whole encode/decode path is under test: a mangled header, padding
+    byte, or row order changes the pixels and breaks the oracle hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in AHASH_SCHEMA.fieldNames()}
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_image(render_text_bmp(t or ""))
+                hi, lo, ones = ahash_64(img)
+                rows["media_id"].append(int(did))
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["ahash_hi"].append(hi)
+                rows["ahash_lo"].append(lo)
+                rows["n_ones"].append(ones)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(batches, AHASH_SCHEMA)

@@ -384,6 +384,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 3-tag sketch fold -> one-row inclusion-exclusion output
         # (scalar-aggregate class, 768 register rows of state)
         "agg_hll_intersection": {"SINGLE_PART"},
+        # 10-row broadcast query-vector dim onto the corpus scan — a
+        # tiny documented dim, never data-sized
+        "embed_prefix_topk_overlap": {"BNLJ"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
