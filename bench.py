@@ -70,6 +70,9 @@ HEADLINE = [
     "text_bm25_score",  # integerized BM25: explode + 2 joins + scalar fold (r6)
     "embed_nearest_centroid",  # k-way centroid distance + argmin window (r6)
     "event_stickiness_dau_wau",  # distinct-shrink + 7x calendar fan-out (r6)
+    "embed_lsh_hyperplane",  # SRP-LSH: 16x64 int projections + band join (r6)
+    "text_rake_phrases",  # explode -> segment window -> phrase/word aggs (r6)
+    "multimodal_image_ahash",  # Arrow-batched real decode + integer aHash (r6)
 ]
 
 

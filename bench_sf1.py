@@ -61,6 +61,10 @@ HEAVIES = [
     "dedup_minhash_jaccard_est",   # documents (tiled, token-suffixed)
     "event_funnel_conversion",     # events (tiled since _BUILT_v2)
     "window_rolling_median",       # events (tiled since _BUILT_v2)
+    # round-6 session-2 additions: the heaviest new operators
+    "embed_lsh_hyperplane",        # embeddings (tiled+rotated, _BUILT_v3)
+    "text_rake_phrases",           # documents (tiled, token-suffixed)
+    "multimodal_image_ahash",      # documents (tiled -> distinct pixels)
 ]
 
 STRIDE_EVENT = 10_000_000
@@ -70,7 +74,7 @@ STRIDE_USER = 100_000
 def build_sf1() -> None:
     import duckdb
 
-    marker = os.path.join(OUT, "_BUILT_v2")
+    marker = os.path.join(OUT, "_BUILT_v3")
     if os.path.exists(marker):
         return
     shutil.rmtree(OUT, ignore_errors=True)
@@ -119,8 +123,19 @@ def build_sf1() -> None:
         f"user_id + {{i}} * {STRIDE_USER} AS user_id, "
         "event_type, value, props FROM {src}",
     )
-    for table in ("region", "nation", "part", "supplier",
-                  "embeddings"):
+    # embeddings tile with a CYCLIC DIM ROTATION per copy: an id-shift
+    # alone would leave 10 identical vector populations whose SRP
+    # signatures band-collide copy-against-copy (45x candidate blowup);
+    # rotating the dims decorrelates the projections while preserving
+    # norms and the distance distribution — throughput scales in rows.
+    tile(
+        "embeddings",
+        "SELECT vec_id + {i} * 10000 AS vec_id, "
+        "CASE WHEN {i} = 0 THEN embedding "
+        "ELSE embedding[{i} + 1:64] || embedding[1:{i}] END AS embedding, "
+        "label FROM {src}",
+    )
+    for table in ("region", "nation", "part", "supplier"):
         shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT}/{table}.parquet")
     with open(marker, "w") as f:
         f.write("ok")
