@@ -91,6 +91,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface52,
         surface53,
         surface54,
+        surface55,
         windows,
     )
 
@@ -155,6 +156,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface52,
         surface53,
         surface54,
+        surface55,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -293,6 +295,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "agg_sum_distinct", "sample_rendezvous_hash",
     "embed_prefix_topk_overlap", "event_error_rate_wilson",
     "multimodal_image_ahash",
+    # batch-62 (new in round 6) — overflow slots likewise
+    "scan_fixed_width_file", "date_nth_weekday_of_month",
+    "str_phonetic_key", "unpivot_multi_measure", "agg_weighted_mean",
 )
 
 # A key listed here stays in the head until a green external row from a
