@@ -92,6 +92,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface53,
         surface54,
         surface55,
+        surface56,
         windows,
     )
 
@@ -157,6 +158,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface53,
         surface54,
         surface55,
+        surface56,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -298,6 +300,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-62 (new in round 6) — overflow slots likewise
     "scan_fixed_width_file", "date_nth_weekday_of_month",
     "str_phonetic_key", "unpivot_multi_measure", "agg_weighted_mean",
+    # batch-63 (new in round 6) — overflow slots likewise
+    "graph_bfs_2hop", "multimodal_audio_frame_rms",
+    "scan_recursive_glob", "scan_ignore_corrupt_files",
+    "event_interval_union_time",
 )
 
 # A key listed here stays in the head until a green external row from a
