@@ -93,6 +93,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface54,
         surface55,
         surface56,
+        surface57,
         windows,
     )
 
@@ -159,6 +160,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface54,
         surface55,
         surface56,
+        surface57,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -304,6 +306,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "graph_bfs_2hop", "multimodal_audio_frame_rms",
     "scan_recursive_glob", "scan_ignore_corrupt_files",
     "event_interval_union_time",
+    # batch-64 (new in round 6) — overflow slots likewise
+    "scan_manifest_subset", "date_fiscal_year_rollup",
+    "audit_benford_first_digit", "event_ab_srm_check", "embed_pq_encode",
 )
 
 # A key listed here stays in the head until a green external row from a

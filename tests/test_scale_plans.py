@@ -387,6 +387,11 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 10-row broadcast query-vector dim onto the corpus scan — a
         # tiny documented dim, never data-sized
         "embed_prefix_topk_overlap": {"BNLJ"},
+        # global share-of-total window over the 9-row digit table —
+        # partial-state rows only (same class as sql_cte_share_of_total)
+        "audit_benford_first_digit": {"SINGLE_PART"},
+        # 1-row broadcast 8x4x8 PQ codebook (scalar-folding rule)
+        "embed_pq_encode": {"BNLJ"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
