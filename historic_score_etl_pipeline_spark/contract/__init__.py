@@ -94,6 +94,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface55,
         surface56,
         surface57,
+        surface58,
         windows,
     )
 
@@ -161,6 +162,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface55,
         surface56,
         surface57,
+        surface58,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -309,6 +311,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-64 (new in round 6) — overflow slots likewise
     "scan_manifest_subset", "date_fiscal_year_rollup",
     "audit_benford_first_digit", "event_ab_srm_check", "embed_pq_encode",
+    # batch-65 (new in round 6) — overflow slots likewise
+    "embed_pq_adc_topk", "text_vocab_drift_topk",
+    "window_weighted_moving_avg", "sink_parquet_zstd_roundtrip",
+    "date_sla_buckets",
 )
 
 # A key listed here stays in the head until a green external row from a

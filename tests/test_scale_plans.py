@@ -392,6 +392,10 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "audit_benford_first_digit": {"SINGLE_PART"},
         # 1-row broadcast 8x4x8 PQ codebook (scalar-folding rule)
         "embed_pq_encode": {"BNLJ"},
+        # 1-row codebook + 5-row query-vector broadcasts (ADC LUT path)
+        "embed_pq_adc_topk": {"BNLJ"},
+        # global trailing-lag window over the |days|-row daily aggregate
+        "window_weighted_moving_avg": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
