@@ -95,6 +95,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface56,
         surface57,
         surface58,
+        surface59,
         windows,
     )
 
@@ -163,6 +164,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface56,
         surface57,
         surface58,
+        surface59,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -315,6 +317,9 @@ _ROUND_HEAD: tuple[str, ...] = (
     "embed_pq_adc_topk", "text_vocab_drift_topk",
     "window_weighted_moving_avg", "sink_parquet_zstd_roundtrip",
     "date_sla_buckets",
+    # batch-66 (new in round 6) — overflow slots likewise
+    "agg_bitmap_distinct", "stream_late_drop_replay",
+    "str_luhn_checksum", "event_type_runs_rle", "agg_hhi_concentration",
 )
 
 # A key listed here stays in the head until a green external row from a
