@@ -96,6 +96,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface57,
         surface58,
         surface59,
+        surface60,
         windows,
     )
 
@@ -165,6 +166,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface57,
         surface58,
         surface59,
+        surface60,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -320,6 +322,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     # batch-66 (new in round 6) — overflow slots likewise
     "agg_bitmap_distinct", "stream_late_drop_replay",
     "str_luhn_checksum", "event_type_runs_rle", "agg_hhi_concentration",
+    # batch-67 (new in round 6) — overflow slots likewise
+    "sample_split_leakage_safe", "agg_month_yoy_delta",
+    "join_full_outer_reconcile", "text_stopword_discovery",
+    "window_minmax_scale",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -396,6 +396,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "embed_pq_adc_topk": {"BNLJ"},
         # global trailing-lag window over the |days|-row daily aggregate
         "window_weighted_moving_avg": {"SINGLE_PART"},
+        # global lag-12 window over the |months|-row aggregate —
+        # partial-state rows only
+        "agg_month_yoy_delta": {"SINGLE_PART"},
+        # 1-row n_docs scalar broadcast onto the word-df table
+        # (scalar-folding rule) + TakeOrdered top-20
+        "text_stopword_discovery": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
