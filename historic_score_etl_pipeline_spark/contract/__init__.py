@@ -97,6 +97,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface58,
         surface59,
         surface60,
+        surface61,
         windows,
     )
 
@@ -167,6 +168,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface58,
         surface59,
         surface60,
+        surface61,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -326,6 +328,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "sample_split_leakage_safe", "agg_month_yoy_delta",
     "join_full_outer_reconcile", "text_stopword_discovery",
     "window_minmax_scale",
+    # batch-68 (new in round 6) — overflow slots likewise
+    "join_value_band_bucketed", "event_burst_detection",
+    "multimodal_pixel_histogram", "date_fixed_offset_display",
+    "text_positional_token_stats",
 )
 
 # A key listed here stays in the head until a green external row from a
