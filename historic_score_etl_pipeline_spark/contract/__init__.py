@@ -98,6 +98,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface59,
         surface60,
         surface61,
+        surface62,
         windows,
     )
 
@@ -169,6 +170,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface59,
         surface60,
         surface61,
+        surface62,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -332,6 +334,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "join_value_band_bucketed", "event_burst_detection",
     "multimodal_pixel_histogram", "date_fixed_offset_display",
     "text_positional_token_stats",
+    # batch-69 (new in round 6) — overflow slots likewise
+    "window_bollinger_bands", "agg_hll_error_calibration",
+    "date_easter_computus", "graph_degree_assortativity",
+    "sink_append_idempotent_log",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -402,6 +402,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row n_docs scalar broadcast onto the word-df table
         # (scalar-folding rule) + TakeOrdered top-20
         "text_stopword_discovery": {"BNLJ", "SINGLE_PART"},
+        # global trailing-20 window over the |days|-row daily aggregate
+        "window_bollinger_bands": {"SINGLE_PART"},
+        # |years|-row broadcast Easter dim range-joined onto orders
+        "date_easter_computus": {"BNLJ"},
+        # single-row Pearson sums (scalar-aggregate class)
+        "graph_degree_assortativity": {"SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
