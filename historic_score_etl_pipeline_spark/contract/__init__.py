@@ -99,6 +99,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface60,
         surface61,
         surface62,
+        surface63,
         windows,
     )
 
@@ -171,6 +172,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface60,
         surface61,
         surface62,
+        surface63,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -338,6 +340,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_bollinger_bands", "agg_hll_error_calibration",
     "date_easter_computus", "graph_degree_assortativity",
     "sink_append_idempotent_log",
+    # batch-70 (new in round 6) — overflow slots likewise
+    "window_holt_smoothing_recursive", "scan_csv_comment_lines",
+    "event_seasonal_strength", "multimodal_audio_zero_crossings",
+    "event_retention_dn",
 )
 
 # A key listed here stays in the head until a green external row from a

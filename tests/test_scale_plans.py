@@ -408,6 +408,11 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "date_easter_computus": {"BNLJ"},
         # single-row Pearson sums (scalar-aggregate class)
         "graph_degree_assortativity": {"SINGLE_PART"},
+        # UnionLoop steps a 1-row state + |days|-row series; the final
+        # fold is a 1-row scalar output
+        "window_holt_smoothing_recursive": {"SINGLE_PART"},
+        # 1-row totals scalar broadcast onto the 7-row dow table
+        "event_seasonal_strength": {"BNLJ", "SINGLE_PART"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
