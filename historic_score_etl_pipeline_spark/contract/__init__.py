@@ -100,6 +100,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface61,
         surface62,
         surface63,
+        surface64,
         windows,
     )
 
@@ -173,6 +174,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface61,
         surface62,
         surface63,
+        surface64,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -344,6 +346,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_holt_smoothing_recursive", "scan_csv_comment_lines",
     "event_seasonal_strength", "multimodal_audio_zero_crossings",
     "event_retention_dn",
+    # batch-71 (new in round 6) — overflow slots likewise
+    "sql_named_window_reuse", "text_readability_proxy",
+    "scan_html_table_regex", "embed_metric_rank_correlation",
+    "agg_decade_histogram",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -413,6 +413,8 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "window_holt_smoothing_recursive": {"SINGLE_PART"},
         # 1-row totals scalar broadcast onto the 7-row dow table
         "event_seasonal_strength": {"BNLJ", "SINGLE_PART"},
+        # 5-row broadcast query-vector dim (rank-agreement probe)
+        "embed_metric_rank_correlation": {"BNLJ"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
