@@ -101,6 +101,8 @@ def _merged() -> dict[str, QuerySpec]:
         surface62,
         surface63,
         surface64,
+        surface65,
+        surface66,
         windows,
     )
 
@@ -175,6 +177,8 @@ def _merged() -> dict[str, QuerySpec]:
         surface62,
         surface63,
         surface64,
+        surface65,
+        surface66,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -350,6 +354,13 @@ _ROUND_HEAD: tuple[str, ...] = (
     "sql_named_window_reuse", "text_readability_proxy",
     "scan_html_table_regex", "embed_metric_rank_correlation",
     "agg_decade_histogram",
+    # batch-72 (new in round 6) — overflow slots likewise
+    "window_kadane_max_subarray", "window_rsi_relative_strength",
+    "agg_freq_of_freq", "text_skipgram_pairs", "window_vwap_running",
+    # batch-73 (new in round 6) — overflow slots likewise
+    "multimodal_image_tile_means", "text_vocab_lcp_compression",
+    "graph_link_predict_common_neighbors", "sample_recency_halflife",
+    "date_calendar_445_rollup",
 )
 
 # A key listed here stays in the head until a green external row from a
