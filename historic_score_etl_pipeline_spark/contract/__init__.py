@@ -103,6 +103,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface64,
         surface65,
         surface66,
+        surface67,
         windows,
     )
 
@@ -179,6 +180,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface64,
         surface65,
         surface66,
+        surface67,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -361,6 +363,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "multimodal_image_tile_means", "text_vocab_lcp_compression",
     "graph_link_predict_common_neighbors", "sample_recency_halflife",
     "date_calendar_445_rollup",
+    # batch-74 (new in round 6) — overflow slots likewise
+    "event_concurrency_duration_histogram", "embed_knn_graph_octant",
+    "sink_sorted_clustered_write", "scan_path_date_partition",
+    "date_julian_day_number",
 )
 
 # A key listed here stays in the head until a green external row from a
