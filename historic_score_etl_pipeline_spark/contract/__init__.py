@@ -104,6 +104,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface65,
         surface66,
         surface67,
+        surface68,
         windows,
     )
 
@@ -181,6 +182,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface65,
         surface66,
         surface67,
+        surface68,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -367,6 +369,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "event_concurrency_duration_histogram", "embed_knn_graph_octant",
     "sink_sorted_clustered_write", "scan_path_date_partition",
     "date_julian_day_number",
+    # batch-75 (new in round 6) — overflow slots likewise
+    "event_autocorr_lag1", "text_vocab_coverage_curve",
+    "multimodal_audio_silence_trim", "date_business_days_holiday_aware",
+    "scan_parquet_decimal_exact",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -415,6 +415,13 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "event_seasonal_strength": {"BNLJ", "SINGLE_PART"},
         # 5-row broadcast query-vector dim (rank-agreement probe)
         "embed_metric_rank_correlation": {"BNLJ"},
+        # 1-row corpus-total scalar broadcast onto the 3-row coverage
+        # tiers; each tier is a k-row TakeOrdered then a scalar
+        # aggregate (ARCHITECTURE.md §scalar folding rule)
+        "text_vocab_coverage_curve": {"BNLJ", "SINGLE_PART"},
+        # ≤21-row broadcast holiday dim range-joined onto orders (the
+        # date_easter_computus class)
+        "date_business_days_holiday_aware": {"BNLJ"},
         "subq_scalar_avg_qty": {"SINGLE_PART"},
         "tpch_q11_important_stock": {"BNLJ", "SINGLE_PART"},
         # global 1-row scalar output (decorrelated Q17 aggregate) — one
