@@ -105,6 +105,9 @@ def _merged() -> dict[str, QuerySpec]:
         surface66,
         surface67,
         surface68,
+        surface69,
+        surface70,
+        surface71,
         windows,
     )
 
@@ -183,6 +186,9 @@ def _merged() -> dict[str, QuerySpec]:
         surface66,
         surface67,
         surface68,
+        surface69,
+        surface70,
+        surface71,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -373,6 +379,18 @@ _ROUND_HEAD: tuple[str, ...] = (
     "event_autocorr_lag1", "text_vocab_coverage_curve",
     "multimodal_audio_silence_trim", "date_business_days_holiday_aware",
     "scan_parquet_decimal_exact",
+    # batch-76 (new in round 6) — overflow slots likewise
+    "sql_scalar_udf_create", "window_hampel_filter",
+    "scan_file_skipping_stats", "date_leap_day_audit",
+    "graph_hits_two_rounds",
+    # batch-77 (new in round 6) — overflow slots likewise
+    "multimodal_image_edge_energy", "graph_kcore_two_pass",
+    "event_markov_two_step", "agg_simpson_rate_audit",
+    "agg_lorenz_deciles",
+    # batch-78 (new in round 6) — overflow slots likewise
+    "multimodal_audio_peak_count", "udtf_overlap_chunks",
+    "hof_map_filter_values", "subq_correlated_scalar_avg",
+    "udaf_longest_increasing_run",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -294,6 +294,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "dedup_embed_cosine": {"BNLJ"},
         "graph_triangle_count": {"BNLJ", "SINGLE_PART"},  # 3 scalar counts
         "join_bloom_prune": {"SINGLE_PART"},
+        # three 1-row (pass, n_nodes, n_edges) scalar counts — the
+        # graph_triangle_count class
+        "graph_kcore_two_pass": {"SINGLE_PART"},
+        # pooled row re-aggregates the |years|-row seg table — partial-
+        # state rows only, never facts (ARCHITECTURE.md §scalar folding)
+        "agg_simpson_rate_audit": {"SINGLE_PART"},
         "join_fuzzy_levenshtein": {"BNLJ"},
         "join_range_interval": {"BNLJ"},
         "join_theta_contains": {"BNLJ"},
