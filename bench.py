@@ -73,6 +73,9 @@ HEADLINE = [
     "embed_lsh_hyperplane",  # SRP-LSH: 16x64 int projections + band join (r6)
     "text_rake_phrases",  # explode -> segment window -> phrase/word aggs (r6)
     "multimodal_image_ahash",  # Arrow-batched real decode + integer aHash (r6)
+    "graph_hits_two_rounds",  # 2 HITS rounds: 4 equi-join/groupBy passes (r6)
+    "graph_kcore_two_pass",  # k-core peeling, lineage-pinned passes (r6)
+    "udaf_longest_increasing_run",  # grouped-map Arrow UDAF islands (r6)
 ]
 
 

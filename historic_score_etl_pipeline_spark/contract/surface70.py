@@ -153,7 +153,12 @@ def graph_kcore_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    und0 = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # lazy lineage pins (the operators/graph.py idiom): each pass and its
+    # stats row reuse ONE materialization instead of replaying the whole
+    # distinct-pair chain per consumer (3 stats + 2 peels = 5 consumers)
+    und0 = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
 
     def peel(und: DataFrame) -> DataFrame:
         keep = (
@@ -166,7 +171,7 @@ def graph_kcore_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.select(F.col("u").alias("v")), "v", "left_semi"
         )
 
-    und1 = peel(und0)
+    und1 = peel(und0).localCheckpoint(eager=False)
     und2 = peel(und1)
 
     def stats(und: DataFrame, p: int) -> DataFrame:
