@@ -108,6 +108,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface69,
         surface70,
         surface71,
+        surface72,
         windows,
     )
 
@@ -189,6 +190,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface69,
         surface70,
         surface71,
+        surface72,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -391,6 +393,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "multimodal_audio_peak_count", "udtf_overlap_chunks",
     "hof_map_filter_values", "subq_correlated_scalar_avg",
     "udaf_longest_increasing_run",
+    # batch-79 (new in round 6) — overflow slots likewise
+    "anomaly_seasonal_residual_iqr", "audit_schema_contract_check",
+    "sessionize_dwell_time", "agg_pareto_front_2d",
+    "scan_csv_null_literals",
 )
 
 # A key listed here stays in the head until a green external row from a

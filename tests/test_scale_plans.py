@@ -300,6 +300,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # pooled row re-aggregates the |years|-row seg table — partial-
         # state rows only, never facts (ARCHITECTURE.md §scalar folding)
         "agg_simpson_rate_audit": {"SINGLE_PART"},
+        # five declared rules, each a 1-row scalar aggregate of its own
+        # table — the audit_fk_orphans class
+        "audit_schema_contract_check": {"SINGLE_PART"},
         "join_fuzzy_levenshtein": {"BNLJ"},
         "join_range_interval": {"BNLJ"},
         "join_theta_contains": {"BNLJ"},
