@@ -109,6 +109,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface70,
         surface71,
         surface72,
+        surface73,
         windows,
     )
 
@@ -191,6 +192,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface70,
         surface71,
         surface72,
+        surface73,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -397,6 +399,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "anomaly_seasonal_residual_iqr", "audit_schema_contract_check",
     "sessionize_dwell_time", "agg_pareto_front_2d",
     "scan_csv_null_literals",
+    # batch-80 (new in round 6) — overflow slots likewise
+    "event_alert_debounce", "scan_txn_log_table",
+    "audit_snapshot_cdc_diff", "text_bpe_pair_counts",
+    "sql_execute_immediate_param",
 )
 
 # A key listed here stays in the head until a green external row from a
