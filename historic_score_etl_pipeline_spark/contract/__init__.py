@@ -110,6 +110,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface71,
         surface72,
         surface73,
+        surface74,
         windows,
     )
 
@@ -193,6 +194,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface71,
         surface72,
         surface73,
+        surface74,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -403,6 +405,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "event_alert_debounce", "scan_txn_log_table",
     "audit_snapshot_cdc_diff", "text_bpe_pair_counts",
     "sql_execute_immediate_param",
+    # batch-81 (new in round 6) — overflow slots likewise
+    "window_gap_fill_interpolate", "sql_declare_variables",
+    "graph_clustering_coeff_topk", "event_wape_forecast_error",
+    "multimodal_image_symmetry_score",
 )
 
 # A key listed here stays in the head until a green external row from a
