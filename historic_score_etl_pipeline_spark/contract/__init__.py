@@ -111,6 +111,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface72,
         surface73,
         surface74,
+        surface75,
         windows,
     )
 
@@ -195,6 +196,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface72,
         surface73,
         surface74,
+        surface75,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -409,6 +411,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_gap_fill_interpolate", "sql_declare_variables",
     "graph_clustering_coeff_topk", "event_wape_forecast_error",
     "multimodal_image_symmetry_score",
+    # batch-82 (new in round 6) — overflow slots likewise
+    "embed_octant_recall_eval", "event_did_estimator",
+    "text_kn_continuation_counts", "date_schedule_expansion",
+    "agg_winsorized_mean",
 )
 
 # A key listed here stays in the head until a green external row from a

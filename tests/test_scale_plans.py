@@ -303,6 +303,14 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # five declared rules, each a 1-row scalar aggregate of its own
         # table — the audit_fk_orphans class
         "audit_schema_contract_check": {"SINGLE_PART"},
+        # 10-row probe dim broadcast against the corpus for the exact
+        # ground-truth pass — the embed_prefix_topk_overlap class
+        "embed_octant_recall_eval": {"BNLJ"},
+        # 4-cell re-aggregate + 1-row output (scalar-aggregate class)
+        "event_did_estimator": {"SINGLE_PART"},
+        # 1-row date-range scalar folded into the 3-row spec dim
+        # (ARCHITECTURE.md §scalar folding rule)
+        "date_schedule_expansion": {"BNLJ", "SINGLE_PART"},
         "join_fuzzy_levenshtein": {"BNLJ"},
         "join_range_interval": {"BNLJ"},
         "join_theta_contains": {"BNLJ"},
