@@ -112,6 +112,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface73,
         surface74,
         surface75,
+        surface76,
         windows,
     )
 
@@ -197,6 +198,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface73,
         surface74,
         surface75,
+        surface76,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -415,6 +417,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "embed_octant_recall_eval", "event_did_estimator",
     "text_kn_continuation_counts", "date_schedule_expansion",
     "agg_winsorized_mean",
+    # batch-83 (new in round 6) — overflow slots likewise
+    "scan_binary_packed_records", "event_attribution_shapley",
+    "event_path_sankey_edges", "multimodal_audio_downsample_2x",
+    "sql_join_strategy_hints",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -308,6 +308,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         "embed_octant_recall_eval": {"BNLJ"},
         # 4-cell re-aggregate + 1-row output (scalar-aggregate class)
         "event_did_estimator": {"SINGLE_PART"},
+        # per-user booleans fold to ONE 4-cell summary row exploded to
+        # 3 channel rows (scalar-aggregate class)
+        "event_attribution_shapley": {"SINGLE_PART"},
         # 1-row date-range scalar folded into the 3-row spec dim
         # (ARCHITECTURE.md §scalar folding rule)
         "date_schedule_expansion": {"BNLJ", "SINGLE_PART"},
