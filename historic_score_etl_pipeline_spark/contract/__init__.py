@@ -113,6 +113,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface74,
         surface75,
         surface76,
+        surface77,
         windows,
     )
 
@@ -199,6 +200,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface74,
         surface75,
         surface76,
+        surface77,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -421,6 +423,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "scan_binary_packed_records", "event_attribution_shapley",
     "event_path_sankey_edges", "multimodal_audio_downsample_2x",
     "sql_join_strategy_hints",
+    # batch-84 (new in round 6) — overflow slots likewise
+    "embed_knn_classifier_eval", "sample_hard_negatives",
+    "str_to_number_format", "sql_group_by_all_sugar",
+    "date_add_months_eom_semantics",
 )
 
 # A key listed here stays in the head until a green external row from a
