@@ -114,6 +114,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface75,
         surface76,
         surface77,
+        surface78,
         windows,
     )
 
@@ -201,6 +202,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface75,
         surface76,
         surface77,
+        surface78,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -427,6 +429,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "embed_knn_classifier_eval", "sample_hard_negatives",
     "str_to_number_format", "sql_group_by_all_sugar",
     "date_add_months_eom_semantics",
+    # batch-85 (new in round 6) — overflow slots likewise
+    "window_underwater_duration", "event_type_user_jaccard",
+    "graph_greedy_walk_3steps", "multimodal_video_scene_cuts",
+    "str_char_class_histogram",
 )
 
 # A key listed here stays in the head until a green external row from a
