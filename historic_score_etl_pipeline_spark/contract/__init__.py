@@ -115,6 +115,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface76,
         surface77,
         surface78,
+        surface79,
         windows,
     )
 
@@ -203,6 +204,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface76,
         surface77,
         surface78,
+        surface79,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -433,6 +435,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "window_underwater_duration", "event_type_user_jaccard",
     "graph_greedy_walk_3steps", "multimodal_video_scene_cuts",
     "str_char_class_histogram",
+    # batch-86 (new in round 6) — overflow slots likewise
+    "embed_two_centroid_split", "text_anagram_classes",
+    "scan_multiline_log_records", "event_fraud_velocity_rule",
+    "sql_star_except_exclude",
 )
 
 # A key listed here stays in the head until a green external row from a

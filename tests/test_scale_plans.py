@@ -311,6 +311,13 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # per-user booleans fold to ONE 4-cell summary row exploded to
         # 3 channel rows (scalar-aggregate class)
         "event_attribution_shapley": {"SINGLE_PART"},
+        # ONE pivoted 2-centroid row broadcast onto the corpus (scalar-
+        # folding rule); the pivot itself is a 2-row global aggregate
+        "embed_two_centroid_split": {"BNLJ", "SINGLE_PART"},
+        # ordered log assembly: the record-id running count is a global
+        # window over the line table — inherently sequence-ordered; at
+        # scale the embedded seq partitions per source file
+        "scan_multiline_log_records": {"SINGLE_PART"},
         # 1-row date-range scalar folded into the 3-row spec dim
         # (ARCHITECTURE.md §scalar folding rule)
         "date_schedule_expansion": {"BNLJ", "SINGLE_PART"},
