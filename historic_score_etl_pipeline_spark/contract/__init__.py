@@ -116,6 +116,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface77,
         surface78,
         surface79,
+        surface80,
         windows,
     )
 
@@ -205,6 +206,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface77,
         surface78,
         surface79,
+        surface80,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -439,6 +441,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "embed_two_centroid_split", "text_anagram_classes",
     "scan_multiline_log_records", "event_fraud_velocity_rule",
     "sql_star_except_exclude",
+    # batch-87 (new in round 6) — overflow slots likewise
+    "scan_zip_archive_members", "text_word_burstiness",
+    "sql_try_arithmetic_nulls", "event_first_purchase_rank",
+    "audit_column_profile",
 )
 
 # A key listed here stays in the head until a green external row from a

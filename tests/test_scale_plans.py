@@ -318,6 +318,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # window over the line table — inherently sequence-ordered; at
         # scale the embedded seq partitions per source file
         "scan_multiline_log_records": {"SINGLE_PART"},
+        # 1-row corpus-size scalar broadcast onto the 20-row top-word
+        # stats (ARCHITECTURE.md §scalar folding rule)
+        "text_word_burstiness": {"BNLJ", "SINGLE_PART"},
+        # five declared columns, each a 1-row scalar aggregate — the
+        # audit_fk_orphans / audit_schema_contract_check class
+        "audit_column_profile": {"SINGLE_PART"},
         # 1-row date-range scalar folded into the 3-row spec dim
         # (ARCHITECTURE.md §scalar folding rule)
         "date_schedule_expansion": {"BNLJ", "SINGLE_PART"},
