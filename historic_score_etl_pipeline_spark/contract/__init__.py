@@ -117,6 +117,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface78,
         surface79,
         surface80,
+        surface81,
         windows,
     )
 
@@ -207,6 +208,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface78,
         surface79,
         surface80,
+        surface81,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -445,6 +447,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "scan_zip_archive_members", "text_word_burstiness",
     "sql_try_arithmetic_nulls", "event_first_purchase_rank",
     "audit_column_profile",
+    # batch-88 (new in round 6) — overflow slots likewise
+    "stream_tumbling_topk", "hof_array_prefix_scan",
+    "multimodal_image_hist_equalization", "event_spend_threshold_crossing",
+    "agg_rollup_count_distinct",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -470,6 +470,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
     # queries that RUN jobs/loops at build time — audited by their own
     # dedicated plan/behavior tests instead
     SKIP = {
+        # runs a real AvailableNow streaming job at build time — audited
+        # by its own behavior test + hash oracle
+        "stream_tumbling_topk",
         "stream_incremental_dedup", "sink_write", "sink_merge_upsert",
         "sink_scd2_history", "stream_stateful_totals", "stream_stream_join",
         "matview_incremental", "dedup_pipeline_e2e",
