@@ -6,9 +6,10 @@ slots):
   (``window_drawdown_max`` measures depth): per supplier price series,
   the longest consecutive run strictly below the running maximum —
   gaps-and-islands over the cummax comparison.
-* ``event_type_user_jaccard`` — audience overlap: per event-type pair,
-  |users(A) ∩ users(B)|, the union by inclusion–exclusion, and the
-  exact Jaccard in ppm — the segmentation overlap matrix.
+* ``event_type_user_jaccard`` — WEIGHTED audience overlap: per
+  event-type pair the weighted Jaccard Σmin/Σmax over per-user COUNT
+  vectors (exact, Σmax by the min+max identity) — the count-weighted
+  sibling of the set-based ``graph_bipartite_jaccard``.
 * ``graph_greedy_walk_3steps`` — deterministic 3-hop traversal: every
   node of the bounded co-order parts subgraph follows its MIN-id
   neighbor three times (three equi-joins against the argmin-neighbor
@@ -129,69 +130,79 @@ FROM totals t LEFT JOIN longest l ON t.sk = l.sk
 
 
 def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event-type pair (a < b): audience intersection, union by
-    inclusion–exclusion, Jaccard in ppm — all exact integers."""
+    """WEIGHTED Jaccard between event types over per-user count vectors:
+    J_W = Σᵤ min(c_uA, c_uB) / Σᵤ max(c_uA, c_uB), exact integers with
+    Σmax = totA + totB − Σmin (min+max = a+b with absent = 0).  The
+    SET-based twin is ``graph_bipartite_jaccard`` (surface51) — counts
+    weight the overlap, membership alone does not."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    sizes = ut.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    uc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    inter = (
-        ut.alias("x")
-        .join(ut.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+    tots = uc.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    minsum = (
+        uc.alias("x")
+        .join(uc.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
         .where(F.col("x.event_type") < F.col("y.event_type"))
         .groupBy(
             F.col("x.event_type").alias("type_a"),
             F.col("y.event_type").alias("type_b"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .agg(
+            F.sum(F.least("x.c", "y.c")).cast("long").alias("min_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_both_users"),
+        )
     )
     return (
-        inter.join(
-            sizes.select(F.col("event_type").alias("type_a"),
-                         F.col("n").alias("n_a")),
+        minsum.join(
+            tots.select(F.col("event_type").alias("type_a"),
+                        F.col("tot").alias("tot_a")),
             "type_a",
         )
         .join(
-            sizes.select(F.col("event_type").alias("type_b"),
-                         F.col("n").alias("n_b")),
+            tots.select(F.col("event_type").alias("type_b"),
+                        F.col("tot").alias("tot_b")),
             "type_b",
         )
         .select(
             "type_a",
             "type_b",
-            "n_a",
-            "n_b",
-            "n_both",
-            (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            "n_both_users",
+            "min_sum",
+            (F.col("tot_a") + F.col("tot_b") - F.col("min_sum"))
             .cast("long")
-            .alias("n_union"),
+            .alias("max_sum"),
             F.expr(
-                "CAST((n_both * 1000000) div (n_a + n_b - n_both) AS BIGINT)"
-            ).alias("jaccard_ppm"),
+                "CAST((min_sum * 1000000) div (tot_a + tot_b - min_sum)"
+                " AS BIGINT)"
+            ).alias("weighted_jaccard_ppm"),
         )
     )
 
 
 EVENT_TYPE_USER_JACCARD_SQL = """
-WITH ut AS (
-  SELECT DISTINCT user_id, event_type FROM events
-), sizes AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
-), inter AS (
+WITH uc AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tots AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM uc GROUP BY 1
+), minsum AS (
   SELECT x.event_type AS type_a, y.event_type AS type_b,
-         CAST(count(*) AS BIGINT) AS n_both
-  FROM ut x JOIN ut y ON x.user_id = y.user_id
+         CAST(sum(least(x.c, y.c)) AS BIGINT) AS min_sum,
+         CAST(count(*) AS BIGINT) AS n_both_users
+  FROM uc x JOIN uc y ON x.user_id = y.user_id
   WHERE x.event_type < y.event_type
   GROUP BY 1, 2
 )
-SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
-       CAST(sa.n + sb.n - i.n_both AS BIGINT) AS n_union,
-       CAST((i.n_both * 1000000) // (sa.n + sb.n - i.n_both) AS BIGINT)
-         AS jaccard_ppm
-FROM inter i
-JOIN sizes sa ON i.type_a = sa.event_type
-JOIN sizes sb ON i.type_b = sb.event_type
+SELECT m.type_a, m.type_b, m.n_both_users, m.min_sum,
+       CAST(ta.tot + tb.tot - m.min_sum AS BIGINT) AS max_sum,
+       CAST((m.min_sum * 1000000) // (ta.tot + tb.tot - m.min_sum)
+            AS BIGINT) AS weighted_jaccard_ppm
+FROM minsum m
+JOIN tots ta ON m.type_a = ta.event_type
+JOIN tots tb ON m.type_b = tb.event_type
 """
 
 

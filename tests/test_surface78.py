@@ -43,22 +43,29 @@ def test_underwater_runs_recompute(spark, sf_oracle):
     assert got == want
 
 
-def test_jaccard_identity(spark, sf_oracle):
-    users = defaultdict(set)
+def test_weighted_jaccard_identity(spark, sf_oracle):
+    cnt = defaultdict(lambda: defaultdict(int))
     for r in load_table(spark, sf_oracle, "events").collect():
-        users[r["event_type"]].add(r["user_id"])
+        cnt[r["event_type"]][r["user_id"]] += 1
     got = {
-        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_both"],
-                                     r["n_union"], r["jaccard_ppm"])
+        (r["type_a"], r["type_b"]): (r["n_both_users"], r["min_sum"],
+                                     r["max_sum"],
+                                     r["weighted_jaccard_ppm"])
         for r in surface78.event_type_user_jaccard(spark, sf_oracle).collect()
     }
-    types = sorted(users)
+    types = sorted(cnt)
     assert len(got) == len(types) * (len(types) - 1) // 2
-    for (a, b), (na, nb, nboth, nuni, jac) in got.items():
-        A, B = users[a], users[b]
-        assert (na, nb, nboth) == (len(A), len(B), len(A & B))
-        assert nuni == len(A | B)
-        assert jac == len(A & B) * 1000000 // len(A | B)
+    for (a, b), (nb_users, mins, maxs, jac) in got.items():
+        A, B = cnt[a], cnt[b]
+        users = set(A) | set(B)
+        wmin = sum(min(A.get(u, 0), B.get(u, 0)) for u in users)
+        wmax = sum(max(A.get(u, 0), B.get(u, 0)) for u in users)
+        assert (nb_users, mins, maxs) == (
+            len(set(A) & set(B)), wmin, wmax,
+        )
+        assert jac == wmin * 1000000 // wmax
+        # weighted Jaccard is bounded by the set Jaccard's support
+        assert 0 <= jac <= 1000000
 
 
 def test_greedy_walk_recompute(spark, sf_oracle):
