@@ -118,6 +118,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface79,
         surface80,
         surface81,
+        surface82,
         windows,
     )
 
@@ -209,6 +210,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface79,
         surface80,
         surface81,
+        surface82,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -451,6 +453,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "stream_tumbling_topk", "hof_array_prefix_scan",
     "multimodal_image_hist_equalization", "event_spend_threshold_crossing",
     "agg_rollup_count_distinct",
+    # batch-89 (new in round 6) — overflow slots likewise
+    "date_partition_backfill_plan", "json_props_numeric_stats",
+    "embed_behavior_user_similarity", "str_confusable_fold",
+    "event_pre_post_paired_terms",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -321,6 +321,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row corpus-size scalar broadcast onto the 20-row top-word
         # stats (ARCHITECTURE.md §scalar folding rule)
         "text_word_burstiness": {"BNLJ", "SINGLE_PART"},
+        # 20-row probe dim broadcast against the user-vector table — the
+        # embed_prefix_topk_overlap class
+        "embed_behavior_user_similarity": {"BNLJ"},
+        # the expected spine explodes from a 1-row (min, max) range
+        # scalar (scalar-folding rule)
+        "date_partition_backfill_plan": {"SINGLE_PART"},
         # five declared columns, each a 1-row scalar aggregate — the
         # audit_fk_orphans / audit_schema_contract_check class
         "audit_column_profile": {"SINGLE_PART"},
