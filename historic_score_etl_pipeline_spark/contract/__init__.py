@@ -119,6 +119,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface80,
         surface81,
         surface82,
+        surface83,
         windows,
     )
 
@@ -211,6 +212,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface80,
         surface81,
         surface82,
+        surface83,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -457,6 +459,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "date_partition_backfill_plan", "json_props_numeric_stats",
     "embed_behavior_user_similarity", "str_confusable_fold",
     "event_pre_post_paired_terms",
+    # batch-90 (new in round 6) — overflow slots likewise
+    "sql_view_chain_inlining", "event_active_day_gap_histogram",
+    "join_role_playing_date_dim", "date_proration_split",
+    "scan_txn_log_time_travel",
 )
 
 # A key listed here stays in the head until a green external row from a
