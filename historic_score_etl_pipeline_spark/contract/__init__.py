@@ -120,6 +120,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface81,
         surface82,
         surface83,
+        surface84,
         windows,
     )
 
@@ -213,6 +214,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface81,
         surface82,
         surface83,
+        surface84,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -463,6 +465,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "sql_view_chain_inlining", "event_active_day_gap_histogram",
     "join_role_playing_date_dim", "date_proration_split",
     "scan_txn_log_time_travel",
+    # batch-91 (new in round 6) — overflow slots likewise
+    "join_reconcile_tolerance", "str_iso_duration_parse",
+    "sample_time_group_split_audit", "window_clamped_running_balance",
+    "scan_csv_crlf_endings",
 )
 
 # A key listed here stays in the head until a green external row from a
