@@ -121,6 +121,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface82,
         surface83,
         surface84,
+        surface85,
         windows,
     )
 
@@ -215,6 +216,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface82,
         surface83,
         surface84,
+        surface85,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -469,6 +471,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "join_reconcile_tolerance", "str_iso_duration_parse",
     "sample_time_group_split_audit", "window_clamped_running_balance",
     "scan_csv_crlf_endings",
+    # batch-92 (new in round 6) — overflow slots likewise
+    "agg_budget_apportionment", "scan_nested_struct_prune",
+    "sql_agg_filter_clause", "multimodal_image_projection_peak",
+    "event_rule_score_matrix",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -327,6 +327,10 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # the expected spine explodes from a 1-row (min, max) range
         # scalar (scalar-folding rule)
         "date_partition_backfill_plan": {"SINGLE_PART"},
+        # 1-row spend-total broadcast onto the |nations|-row base, and
+        # the remainder rank is a global window over those ≤25 rows —
+        # partial-state rows only (scalar-folding rule)
+        "agg_budget_apportionment": {"BNLJ", "SINGLE_PART"},
         # five declared columns, each a 1-row scalar aggregate — the
         # audit_fk_orphans / audit_schema_contract_check class
         "audit_column_profile": {"SINGLE_PART"},
