@@ -122,6 +122,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface83,
         surface84,
         surface85,
+        surface86,
         windows,
     )
 
@@ -217,6 +218,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface83,
         surface84,
         surface85,
+        surface86,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -475,6 +477,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "agg_budget_apportionment", "scan_nested_struct_prune",
     "sql_agg_filter_clause", "multimodal_image_projection_peak",
     "event_rule_score_matrix",
+    # batch-93 (new in round 6) — overflow slots likewise
+    "audit_order_line_consistency", "text_prefix_autocomplete_topk",
+    "sql_nulls_ordering_pinned", "scan_file_inventory",
+    "window_runs_test_terms",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -331,6 +331,9 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # the remainder rank is a global window over those ≤25 rows —
         # partial-state rows only (scalar-folding rule)
         "agg_budget_apportionment": {"BNLJ", "SINGLE_PART"},
+        # global lag + rank over the ~90-row filtered daily aggregate —
+        # partial-state rows only (the event_new_vs_returning class)
+        "sql_nulls_ordering_pinned": {"SINGLE_PART"},
         # five declared columns, each a 1-row scalar aggregate — the
         # audit_fk_orphans / audit_schema_contract_check class
         "audit_column_profile": {"SINGLE_PART"},
