@@ -123,6 +123,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface84,
         surface85,
         surface86,
+        surface87,
         windows,
     )
 
@@ -219,6 +220,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface84,
         surface85,
         surface86,
+        surface87,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -481,6 +483,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "audit_order_line_consistency", "text_prefix_autocomplete_topk",
     "sql_nulls_ordering_pinned", "scan_file_inventory",
     "window_runs_test_terms",
+    # batch-94 (new in round 6) — overflow slots likewise
+    "sql_qualify_dialect_pair", "hof_map_zip_with_merge",
+    "window_best_split_point", "text_tokenizer_fertility",
+    "str_group_medoid",
 )
 
 # A key listed here stays in the head until a green external row from a
