@@ -124,6 +124,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface85,
         surface86,
         surface87,
+        surface88,
         windows,
     )
 
@@ -221,6 +222,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface85,
         surface86,
         surface87,
+        surface88,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -487,6 +489,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "sql_qualify_dialect_pair", "hof_map_zip_with_merge",
     "window_best_split_point", "text_tokenizer_fertility",
     "str_group_medoid",
+    # batch-95 (new in round 6) — overflow slots likewise
+    "join_bridge_weighted_allocation", "scan_parquet_int96_legacy",
+    "sink_csv_formula_sanitize", "agg_band_migration_matrix",
+    "multimodal_image_border_contrast",
 )
 
 # A key listed here stays in the head until a green external row from a
