@@ -125,6 +125,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface86,
         surface87,
         surface88,
+        surface89,
         windows,
     )
 
@@ -223,6 +224,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface86,
         surface87,
         surface88,
+        surface89,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -493,6 +495,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "join_bridge_weighted_allocation", "scan_parquet_int96_legacy",
     "sink_csv_formula_sanitize", "agg_band_migration_matrix",
     "multimodal_image_border_contrast",
+    # batch-96 (new in round 6) — overflow slots likewise
+    "scan_csv_latin1_charset", "join_accumulating_snapshot",
+    "date_epoch_unit_audit", "str_json_escape_roundtrip",
+    "sink_write_with_manifest",
 )
 
 # A key listed here stays in the head until a green external row from a
