@@ -126,6 +126,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface87,
         surface88,
         surface89,
+        surface90,
         windows,
     )
 
@@ -225,6 +226,7 @@ def _merged() -> dict[str, QuerySpec]:
         surface87,
         surface88,
         surface89,
+        surface90,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -499,6 +501,10 @@ _ROUND_HEAD: tuple[str, ...] = (
     "scan_csv_latin1_charset", "join_accumulating_snapshot",
     "date_epoch_unit_audit", "str_json_escape_roundtrip",
     "sink_write_with_manifest",
+    # batch-97 (new in round 6) — overflow slots likewise
+    "dedup_chunk_exact", "sample_rolling_origin_folds",
+    "join_fx_conversion_daily", "window_recovery_time_days",
+    "multimodal_audio_loudest_window",
 )
 
 # A key listed here stays in the head until a green external row from a

@@ -331,6 +331,12 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # the remainder rank is a global window over those ≤25 rows —
         # partial-state rows only (scalar-folding rule)
         "agg_budget_apportionment": {"BNLJ", "SINGLE_PART"},
+        # 4-row fold dim broadcast onto the event scan (tiny documented
+        # dim — the join_dim_grid_fill class)
+        "sample_rolling_origin_folds": {"BNLJ"},
+        # the FX dim explodes from a 1-row (min, max) range scalar
+        # (scalar-folding rule, the date_partition_backfill_plan class)
+        "join_fx_conversion_daily": {"SINGLE_PART"},
         # global lag + rank over the ~90-row filtered daily aggregate —
         # partial-state rows only (the event_new_vs_returning class)
         "sql_nulls_ordering_pinned": {"SINGLE_PART"},
