@@ -32,206 +32,44 @@ class QuerySpec:
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from historic_score_etl_pipeline_spark.contract import (
-        aggregates,
-        extensions,
-        joins,
-        scans,
-        surface,
-        surface2,
-        surface3,
-        surface4,
-        surface5,
-        surface6,
-        surface7,
-        surface8,
-        surface9,
-        surface10,
-        surface11,
-        surface12,
-        surface13,
-        surface14,
-        surface15,
-        surface16,
-        surface17,
-        surface18,
-        surface19,
-        surface20,
-        surface21,
-        surface22,
-        surface23,
-        surface24,
-        surface25,
-        surface26,
-        surface27,
-        surface28,
-        surface29,
-        surface30,
-        surface31,
-        surface32,
-        surface33,
-        surface34,
-        surface35,
-        surface36,
-        surface37,
-        surface38,
-        surface39,
-        surface40,
-        surface41,
-        surface42,
-        surface43,
-        surface44,
-        surface45,
-        surface46,
-        surface47,
-        surface48,
-        surface49,
-        surface50,
-        surface51,
-        surface52,
-        surface53,
-        surface54,
-        surface55,
-        surface56,
-        surface57,
-        surface58,
-        surface59,
-        surface60,
-        surface61,
-        surface62,
-        surface63,
-        surface64,
-        surface65,
-        surface66,
-        surface67,
-        surface68,
-        surface69,
-        surface70,
-        surface71,
-        surface72,
-        surface73,
-        surface74,
-        surface75,
-        surface76,
-        surface77,
-        surface78,
-        surface79,
-        surface80,
-        surface81,
-        surface82,
-        surface83,
-        surface84,
-        surface85,
-        surface86,
-        surface87,
-        surface88,
-        surface89,
-        surface90,
-        windows,
+    """Merge every contract surface module's ``QUERIES`` dict.
+
+    Modules are auto-discovered (``pkgutil``) so adding a surface file
+    is registration enough — no hand-kept import list to forget.  Merge
+    order is deterministic: the five core modules first (historic
+    order), then ``surfaceN`` by numeric suffix, then anything else
+    alphabetically.  Order only matters for pre-rotation dict layout;
+    the external head is pinned explicitly in ``_ROUND_HEAD``.
+    """
+    import importlib
+    import pkgutil
+    import re as _re
+
+    core = ("scans", "aggregates", "joins", "windows", "extensions")
+    discovered = sorted(
+        name
+        for _, name, _ in pkgutil.iter_modules(__path__)
+        if not name.startswith("_")
     )
 
+    def _order(name: str) -> tuple[int, int, str]:
+        if name in core:
+            return (0, core.index(name), name)
+        m = _re.fullmatch(r"surface(\d*)", name)
+        if m:
+            return (1, int(m.group(1) or 1), name)
+        return (2, 0, name)
+
     merged: dict[str, QuerySpec] = {}
-    for mod in (
-        scans,
-        aggregates,
-        joins,
-        windows,
-        extensions,
-        surface,
-        surface2,
-        surface3,
-        surface4,
-        surface5,
-        surface6,
-        surface7,
-        surface8,
-        surface9,
-        surface10,
-        surface11,
-        surface12,
-        surface13,
-        surface14,
-        surface15,
-        surface16,
-        surface17,
-        surface18,
-        surface19,
-        surface20,
-        surface21,
-        surface22,
-        surface23,
-        surface24,
-        surface25,
-        surface26,
-        surface27,
-        surface28,
-        surface29,
-        surface30,
-        surface31,
-        surface32,
-        surface33,
-        surface34,
-        surface35,
-        surface36,
-        surface37,
-        surface38,
-        surface39,
-        surface40,
-        surface41,
-        surface42,
-        surface43,
-        surface44,
-        surface45,
-        surface46,
-        surface47,
-        surface48,
-        surface49,
-        surface50,
-        surface51,
-        surface52,
-        surface53,
-        surface54,
-        surface55,
-        surface56,
-        surface57,
-        surface58,
-        surface59,
-        surface60,
-        surface61,
-        surface62,
-        surface63,
-        surface64,
-        surface65,
-        surface66,
-        surface67,
-        surface68,
-        surface69,
-        surface70,
-        surface71,
-        surface72,
-        surface73,
-        surface74,
-        surface75,
-        surface76,
-        surface77,
-        surface78,
-        surface79,
-        surface80,
-        surface81,
-        surface82,
-        surface83,
-        surface84,
-        surface85,
-        surface86,
-        surface87,
-        surface88,
-        surface89,
-        surface90,
-    ):
-        overlap = merged.keys() & mod.QUERIES.keys()
+    for name in sorted(discovered, key=_order):
+        mod = importlib.import_module(f"{__name__}.{name}")
+        queries = getattr(mod, "QUERIES", None)
+        if queries is None:
+            raise ValueError(f"contract module {name} lacks QUERIES")
+        overlap = merged.keys() & queries.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
-        merged.update(mod.QUERIES)
+        merged.update(queries)
     return _rotate(merged)
 
 

@@ -47,8 +47,6 @@ _PACK_SHARDS = 4
 
 
 def _staged_packed_records(spark: SparkSession, sf_dir: str) -> str:
-    import struct
-
     from historic_score_etl_pipeline_spark.contract._staging import (
         app_scoped_dir,
     )
@@ -57,7 +55,12 @@ def _staged_packed_records(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
-        rows = (
+        # No native Spark writer exists for raw packed-binary, so each
+        # TASK packs and writes its own shard file — data never visits
+        # the driver (ADVICE r6: the old collect() here would OOM at
+        # scale).  Local-mode tasks share the FS; on a cluster `out`
+        # would be a shared mount.
+        df = (
             load_table(spark, sf_dir, "orders")
             .select(
                 F.col("o_orderkey").cast("long").alias("k"),
@@ -65,16 +68,22 @@ def _staged_packed_records(spark: SparkSession, sf_dir: str) -> str:
                 .cast("long")
                 .alias("cents"),
             )
-            .collect()
+            .repartition(_PACK_SHARDS, F.expr(f"k % {_PACK_SHARDS}"))
         )
-        shards: list[list[bytes]] = [[] for _ in range(_PACK_SHARDS)]
-        for r in rows:
-            shards[r["k"] % _PACK_SHARDS].append(
-                struct.pack("<qq", r["k"], r["cents"])
+
+        def _write_shard(rows) -> None:
+            import struct
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            payload = b"".join(
+                struct.pack("<qq", r["k"], r["cents"]) for r in rows
             )
-        for i, recs in enumerate(shards):
-            with open(os.path.join(out, f"shard-{i}.bin"), "wb") as f:
-                f.write(b"".join(recs))
+            with open(os.path.join(out, f"shard-{pid}.bin"), "wb") as f:
+                f.write(payload)
+
+        df.foreachPartition(_write_shard)
         with open(done, "w") as f:
             f.write("ok")
     return out

@@ -196,6 +196,7 @@ def date_proration_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST month (Σshares = cents exactly); per month the prorated
     total."""
     o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
         F.to_date("o_orderdate").alias("start"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long")
@@ -203,10 +204,12 @@ def date_proration_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explode the window's months: month offsets 0..2 cover 45 days
     spans = o.select(
+        "k",
         "start",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("mo"),
     ).select(
+        "k",
         "start",
         "cents",
         F.trunc(F.add_months("start", F.col("mo")), "month").alias("m"),
@@ -219,11 +222,14 @@ def date_proration_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days_m = F.datediff(m_end, m_start)
     spans = spans.withColumn("days_m", days_m).where(F.col("days_m") > 0)
-    w = Window.partitionBy("start", "cents", "m")  # noqa: F841 — doc only
     share = F.expr(f"(cents * days_m) div {_PRORATE_DAYS}")
     first = F.col("m") == F.trunc("start", "month")
-    # remainder = cents − Σ floor-shares; pin to the first month
-    wsum = Window.partitionBy("start", "cents")
+    # remainder = cents − Σ floor-shares; pin to the first month.  The
+    # window MUST be per-order (o_orderkey): partitioning by
+    # (start, cents) merges distinct orders that share a date and a
+    # rounded total — no collision exists at sf≤0.1 but ~625 orders/day
+    # at sf1 make one statistically certain, breaking Σshares = cents.
+    wsum = Window.partitionBy("k")
     spans = spans.withColumn("share", share.cast("long")).withColumn(
         "rem",
         (F.col("cents") - F.sum("share").over(wsum)).cast("long"),
@@ -242,29 +248,30 @@ def date_proration_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DATE_PRORATION_SPLIT_SQL = f"""
 WITH o AS (
-  SELECT CAST(o_orderdate AS DATE) AS start,
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_orderdate AS DATE) AS start,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
 ), spans0 AS (
-  SELECT start, cents,
+  SELECT k, start, cents,
          date_trunc('month', start + to_months(CAST(t.mo AS INTEGER)))
            AS m
   FROM o, unnest([0, 1, 2]) AS t(mo)
 ), spans AS (
-  SELECT start, cents, m,
+  SELECT k, start, cents, m,
          date_diff('day',
            greatest(start, CAST(m AS DATE)),
            least(start + {_PRORATE_DAYS},
                  CAST(m AS DATE) + INTERVAL 1 MONTH)) AS days_m
   FROM spans0
 ), pos AS (
-  SELECT start, cents, m, days_m,
+  SELECT k, start, cents, m, days_m,
          (cents * days_m) // {_PRORATE_DAYS} AS share,
          m = date_trunc('month', start) AS is_first
   FROM spans WHERE days_m > 0
 ), withrem AS (
-  SELECT start, cents, m, share, is_first,
-         cents - sum(share) OVER (PARTITION BY start, cents) AS rem
+  SELECT k, start, cents, m, share, is_first,
+         cents - sum(share) OVER (PARTITION BY k) AS rem
   FROM pos
 )
 SELECT strftime(m, '%Y-%m') AS ym,

@@ -332,23 +332,37 @@ def _staged_crlf_csv(spark: SparkSession, sf_dir: str) -> str:
     out = app_scoped_dir(spark, "crlfcsv", sf_dir)
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
-        os.makedirs(out, exist_ok=True)
-        rows = (
+        # df.write-based staging (ADVICE r6: no whole-table collect).
+        # The text writer terminates records with \n; the row value
+        # itself carries the trailing \r, so every line ends \r\n —
+        # the exact CRLF shape the scan must tolerate.  Headerless
+        # (the scan supplies the schema): a per-part-file header would
+        # otherwise be data in all but the first file.
+        tmp = out + ".tmp"
+        (
             load_table(spark, sf_dir, "orders")
             .select(
-                F.col("o_orderkey").cast("long").alias("k"),
-                F.col("o_orderstatus").alias("status"),
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                .cast("long")
-                .alias("cents"),
+                F.format_string(
+                    "%d,%s,%d\r",
+                    F.col("o_orderkey").cast("long"),
+                    F.col("o_orderstatus"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long"),
+                ).alias("value"),
             )
-            .collect()
+            .write.mode("overwrite")
+            .text(tmp)
         )
-        lines = ["k,status,cents"] + [
-            f"{r['k']},{r['status']},{r['cents']}" for r in rows
-        ]
-        with open(os.path.join(out, "orders_crlf.csv"), "wb") as f:
-            f.write(("\r\n".join(lines) + "\r\n").encode())
+        os.makedirs(out, exist_ok=True)
+        for name in os.listdir(tmp):
+            if name.startswith("part-"):
+                os.replace(
+                    os.path.join(tmp, name),
+                    os.path.join(out, name + ".csv"),
+                )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         with open(done, "w") as f:
             f.write("ok")
     return out
@@ -359,7 +373,7 @@ def scan_csv_crlf_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean BIGINT (a stray \\r would void the cast)."""
     path = _staged_crlf_csv(spark, sf_dir)
     df = (
-        spark.read.option("header", "true")
+        spark.read.option("header", "false")
         .schema("k LONG, status STRING, cents LONG")
         .csv(os.path.join(path, "*.csv"))
     )

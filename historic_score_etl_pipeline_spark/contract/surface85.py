@@ -59,14 +59,21 @@ def agg_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.sum(cents).alias("w"))
     )
-    # 1-row total folded in (scalar-folding rule)
+    # 1-row total folded in (scalar-folding rule).  BUDGET·w is computed
+    # in two ×1000 stages: the naive 1e6·w product nears int64 max around
+    # sf10 (w ≈ 9e12 cents/nation), while here every intermediate is
+    # ≤ 1000·t — safe to ~sf4000.  Identity: with h = 1000·w,
+    # q1 = h div t, r1 = h mod t:  1e6·w div t = 1000·q1 + 1000·r1 div t
+    # and 1e6·w mod t = 1000·r1 mod t.
     tot = spend.agg(F.sum("w").alias("t"))
     base = spend.crossJoin(F.broadcast(tot)).select(
         "c_nationkey",
         "w",
         "t",
-        F.expr(f"({_BUDGET} * w) div t").cast("long").alias("floor_share"),
-        F.expr(f"({_BUDGET} * w) % t").cast("long").alias("rem"),
+        F.expr(
+            "1000 * ((1000 * w) div t) + (1000 * ((1000 * w) % t)) div t"
+        ).cast("long").alias("floor_share"),
+        F.expr("(1000 * ((1000 * w) % t)) % t").cast("long").alias("rem"),
     )
     wrk = Window.orderBy(F.desc("rem"), F.asc("c_nationkey"))
     wfull = Window.partitionBy()
@@ -99,9 +106,12 @@ WITH spend AS (
   GROUP BY 1
 ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM spend),
 base AS (
+  -- two-stage x1000 product keeps every intermediate <= 1000*t (int64-
+  -- safe to ~sf4000); algebraically identical to ({_BUDGET}*w) // t / % t
   SELECT c_nationkey, w, t,
-         ({_BUDGET} * w) // t AS floor_share,
-         ({_BUDGET} * w) % t AS rem
+         1000 * ((1000 * w) // t) + (1000 * ((1000 * w) % t)) // t
+           AS floor_share,
+         (1000 * ((1000 * w) % t)) % t AS rem
   FROM spend, tot
 ), ranked AS (
   SELECT c_nationkey, w, floor_share, rem,

@@ -228,21 +228,23 @@ def _staged_inventory_files(spark: SparkSession, sf_dir: str) -> str:
     out = app_scoped_dir(spark, "inventory", sf_dir)
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
-        os.makedirs(out, exist_ok=True)
-        rows = (
+        # df.write-based staging (ADVICE r6: no whole-table collect):
+        # repartition("status") puts each status wholly in one task, so
+        # partitionBy emits exactly ONE text file per status dir — the
+        # per-status shard the inventory scan expects, written by
+        # executors at any scale.
+        (
             load_table(spark, sf_dir, "orders")
             .select(
-                F.col("o_orderkey").cast("long").alias("k"),
+                F.col("o_orderkey").cast("long").cast("string")
+                .alias("value"),
                 F.col("o_orderstatus").alias("status"),
             )
-            .collect()
+            .repartition("status")
+            .write.partitionBy("status")
+            .mode("overwrite")
+            .text(out)
         )
-        shards: dict[str, list[str]] = {}
-        for r in rows:
-            shards.setdefault(r["status"], []).append(str(r["k"]))
-        for status, keys in shards.items():
-            with open(os.path.join(out, f"orders_{status}.txt"), "wb") as f:
-                f.write(("\n".join(keys) + "\n").encode())
         with open(done, "w") as f:
             f.write("ok")
     return out
@@ -253,11 +255,11 @@ def scan_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (Σ digits + newlines — replayable) and record count."""
     path = _staged_inventory_files(spark, sf_dir)
     files = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.txt")
+        os.path.join(path, "status=*", "part-*")
     )
     return files.select(
         F.regexp_extract(
-            F.col("path"), r"orders_([A-Z])\.txt$", 1
+            F.col("path"), r"status=([A-Z])/[^/]+$", 1
         ).alias("status"),
         F.col("length").cast("long").alias("bytes"),
         (F.length(F.col("content").cast("string"))

@@ -51,25 +51,28 @@ def _staged_latin1_csv(spark: SparkSession, sf_dir: str) -> str:
     out = app_scoped_dir(spark, "latin1", sf_dir)
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
-        os.makedirs(out, exist_ok=True)
-        rows = (
+        # df.write-based staging (ADVICE r6: no whole-table collect).
+        # The CSV writer's encoding option emits true ISO-8859-1 bytes
+        # (é = 0xE9) from the executors; header per part-file is fine —
+        # the header-aware read strips one per file.
+        (
             load_table(spark, sf_dir, "orders")
             .select(
                 F.col("o_orderkey").cast("long").alias("k"),
-                F.col("o_orderstatus").alias("status"),
+                F.when(
+                    F.col("o_orderkey") % 13 == 0,
+                    F.concat(
+                        F.lit(_L1_MARK + "_"), F.col("o_orderstatus")
+                    ),
+                )
+                .otherwise(F.col("o_orderstatus"))
+                .alias("label"),
             )
-            .collect()
+            .write.option("header", "true")
+            .option("encoding", "ISO-8859-1")
+            .mode("overwrite")
+            .csv(out)
         )
-        lines = ["k,label"]
-        for r in rows:
-            label = (
-                f"{_L1_MARK}_{r['status']}"
-                if r["k"] % 13 == 0
-                else r["status"]
-            )
-            lines.append(f"{r['k']},{label}")
-        with open(os.path.join(out, "orders_latin1.csv"), "wb") as f:
-            f.write(("\n".join(lines) + "\n").encode("iso-8859-1"))
         with open(done, "w") as f:
             f.write("ok")
     return out
@@ -273,7 +276,6 @@ FROM j GROUP BY o_orderstatus
 
 
 def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
     import json
 
     from historic_score_etl_pipeline_spark.contract._staging import (
@@ -284,28 +286,40 @@ def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
-        rows = (
-            load_table(spark, sf_dir, "orders")
-            .select(
-                F.col("o_orderkey").cast("long").alias("k"),
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                .cast("long")
-                .alias("cents"),
+        # df.write-based staging (ADVICE r6: no whole-table collect):
+        # shard CSVs land via partitionBy from the executors; the
+        # manifest digests are computed IN Spark (per-shard md5 of the
+        # sorted key list) and only the 4 (shard, rows, md5) summary
+        # rows ever reach the driver — a bounded-scalar collect.
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 4).cast("long").alias("shard"),
+        )
+        (
+            base.repartition(4, "shard")
+            .sortWithinPartitions("shard", "k")
+            .select("shard", "k", "cents")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .csv(os.path.join(out, "shards"))
+        )
+        summary = (
+            base.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("rows"),
+                F.md5(
+                    F.concat_ws(",", F.sort_array(F.collect_list("k")))
+                ).alias("md5"),
             )
             .collect()
         )
-        shards: dict[int, list] = {i: [] for i in range(4)}
-        for r in rows:
-            shards[r["k"] % 4].append((r["k"], r["cents"]))
-        manifest = {}
-        for sid, recs in shards.items():
-            recs.sort()
-            with open(os.path.join(out, f"shard-{sid}.csv"), "w") as f:
-                f.write("\n".join(f"{k},{c}" for k, c in recs) + "\n")
-            digest = hashlib.md5(
-                ",".join(str(k) for k, _ in recs).encode()
-            ).hexdigest()
-            manifest[str(sid)] = {"rows": len(recs), "md5": digest}
+        manifest = {
+            str(r["shard"]): {"rows": r["rows"], "md5": r["md5"]}
+            for r in summary
+        }
         with open(os.path.join(out, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
         with open(done, "w") as f:
@@ -329,7 +343,7 @@ def sink_write_with_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         spark.read.schema("k LONG, cents LONG")
-        .csv(os.path.join(path, "shard-*.csv"))
+        .csv(os.path.join(path, "shards", "shard=*", "*.csv"))
         .select((F.col("k") % 4).cast("long").alias("shard"), "k")
     )
     recomputed = df.groupBy("shard").agg(

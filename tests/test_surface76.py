@@ -36,10 +36,23 @@ def test_packed_records_roundtrip(spark, sf_oracle):
         ).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
-    # spot-check one record's byte layout
-    raw = open(blobs[0], "rb").read()
-    k0, c0 = struct.unpack("<qq", raw[:16])
-    assert k0 % 4 == 0 and c0 > 0
+    # spot-check record byte layout; the hash-partitioned shard write
+    # sends each k%4 residue to exactly ONE shard file (two residues may
+    # share a file, but no residue may straddle two)
+    residue_sets = []
+    for b in blobs:
+        raw = open(b, "rb").read()
+        if not raw:
+            continue
+        _, c0 = struct.unpack("<qq", raw[:16])
+        assert c0 > 0
+        residue_sets.append(
+            {
+                struct.unpack("<qq", raw[i : i + 16])[0] % 4
+                for i in range(0, len(raw), 16)
+            }
+        )
+    assert sorted(x for s in residue_sets for x in s) == [0, 1, 2, 3]
 
 
 def test_shapley_credit_conserved(spark, sf_oracle):

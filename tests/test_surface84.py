@@ -109,9 +109,15 @@ def test_clamped_balance_recompute(spark, sf_oracle):
 
 
 def test_crlf_clean(spark, sf_oracle):
+    import glob
+
     path = surface84._staged_crlf_csv(spark, sf_oracle)
-    raw = open(f"{path}/orders_crlf.csv", "rb").read()
-    assert b"\r\n" in raw  # staged file really is CRLF
+    raw = b"".join(
+        open(p, "rb").read() for p in sorted(glob.glob(f"{path}/*.csv"))
+    )
+    assert b"\r\n" in raw  # staged files really are CRLF
+    # every record line ends \r\n (no bare-\n lines)
+    assert raw.count(b"\n") == raw.count(b"\r\n")
     want = defaultdict(lambda: [0, 0])
     for r in load_table(spark, sf_oracle, "orders").collect():
         a = want[r["o_orderstatus"]]

@@ -12,9 +12,13 @@ from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 
 def test_latin1_survives(spark, sf_oracle):
+    import glob
+
     path = surface89._staged_latin1_csv(spark, sf_oracle)
-    raw = open(f"{path}/orders_latin1.csv", "rb").read()
-    assert b"\xe9" in raw  # the file genuinely holds ISO-8859-1 bytes
+    raw = b"".join(
+        open(p, "rb").read() for p in sorted(glob.glob(f"{path}/*.csv"))
+    )
+    assert b"\xe9" in raw  # the files genuinely hold ISO-8859-1 bytes
     assert b"\xc3\xa9" not in raw  # and NOT utf-8
     want = Counter()
     acc = Counter()
