@@ -65,7 +65,25 @@ HEAVIES = [
     "embed_lsh_hyperplane",        # embeddings (tiled+rotated, _BUILT_v3)
     "text_rake_phrases",           # documents (tiled, token-suffixed)
     "multimodal_image_ahash",      # documents (tiled -> distinct pixels)
+    # round-7 additions (VERDICT r6 ask #2): the session-3 heavies
+    "graph_hits_two_rounds",       # lineitem co-order graph (tiled)
+    "graph_kcore_two_pass",        # lineitem co-order graph (tiled)
+    "text_bm25_score",             # documents (tiled, token-suffixed)
+    "udaf_longest_increasing_run",  # lineitem (orderkey-strided)
 ]
+
+# VERDICT r6 ask #3: one more order of magnitude for the 3 heaviest.
+# The sf10 replica tiles ONLY the tables these three touch (lineitem
+# for the two graph queries, documents for the dedup pipeline) 100x;
+# every other table is the sf0.1 copy.  --sf10 measures sf1 -> sf10,
+# the SECOND 10x decade, so the claim no longer rests on a single step.
+SF10_HEAVIES = [
+    "graph_triangle_count",
+    "graph_pagerank",
+    "dedup_pipeline_e2e",
+]
+OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
+COPIES10 = 100
 
 STRIDE_EVENT = 10_000_000
 STRIDE_USER = 100_000
@@ -141,7 +159,60 @@ def build_sf1() -> None:
         f.write("ok")
 
 
-def run_set(spark, sf_dir: str, qs, flagship) -> dict[str, float]:
+def build_sf10() -> None:
+    """Tile sf0.1 100x for the SF10_HEAVIES' tables only.
+
+    lineitem: (l_orderkey, l_partkey) strided per copy -> 100 disjoint
+    co-order part graphs (the triangle/pagerank fixture shape at 100x).
+    documents: doc_id strided AND every token suffixed with the copy
+    index -> no cross-copy LSH band collisions (the same adversarial
+    care as the sf1 replica; without it candidates blow up ~4950x).
+    """
+    import duckdb
+
+    marker = os.path.join(OUT10, "_BUILT_v1")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(OUT10, ignore_errors=True)
+    os.makedirs(OUT10, exist_ok=True)
+    con = duckdb.connect()
+
+    def tile(table: str, select_tpl: str) -> None:
+        parts = [
+            select_tpl.format(i=i, src=f"read_parquet('{SRC}/{table}.parquet')")
+            for i in range(COPIES10)
+        ]
+        union = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({union}) TO '{OUT10}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    tile(
+        "lineitem",
+        f"SELECT l_orderkey + {{i}} * {STRIDE_ORDER} AS l_orderkey, "
+        f"l_partkey + {{i}} * {STRIDE_PART} AS l_partkey, "
+        "l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        "FROM {src}",
+    )
+    tile(
+        "documents",
+        f"SELECT doc_id + {{i}} * {STRIDE_DOC} AS doc_id, "
+        "regexp_replace(text, '(\\S+)', '\\1x{i}', 'g') AS text, "
+        "lang, source, n_chars FROM {src}",
+    )
+    for table in (
+        "region", "nation", "part", "supplier", "customer", "orders",
+        "events", "embeddings",
+    ):
+        shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT10}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_set(
+    spark, sf_dir: str, qs, flagship, names=None
+) -> dict[str, float]:
     from historic_score_etl_pipeline_spark.sources.catalog import (
         stage_landing_zone,
     )
@@ -156,24 +227,28 @@ def run_set(spark, sf_dir: str, qs, flagship) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
 
     out: dict[str, float] = {}
-    for name in HEAVIES:
+    for name in names if names is not None else HEAVIES:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _force(flagship(spark, sf_dir))
-        best = min(best, time.perf_counter() - t0)
-    out["flagship"] = round(best, 3)
+    if flagship is not None:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(flagship(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        out["flagship"] = round(best, 3)
     return out
 
 
 def main() -> None:
+    sf10_mode = "--sf10" in sys.argv[1:]
     build_sf1()
+    if sf10_mode:
+        build_sf10()
 
     from historic_score_etl_pipeline_spark import contract
     from historic_score_etl_pipeline_spark.plans.flagship import (
@@ -207,6 +282,40 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+
+    if sf10_mode:
+        # Scale the *session* with the data the way a cluster would:
+        # 10x the rows per core -> more reduce partitions, so per-task
+        # aggregate state (triangle adjacency arrays) stays spillable.
+        # Launch with SPARK_DRIVER_MEM=48g: the default 8 GiB / 32
+        # threads leaves ~150 MiB execution memory per task, which is
+        # the local-mode harness constraint, not the plan, OOMing.
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        # second decade: sf1 -> sf10, same session, best-of-2 each
+        t1 = run_set(spark, OUT, qs, None, SF10_HEAVIES)
+        t10 = run_set(spark, OUT10, qs, None, SF10_HEAVIES)
+        exp = {
+            k: round(math.log10(max(t10[k], 1e-3) / max(t1[k], 1e-3)), 3)
+            for k in t1
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "sf10_scaling",
+                    "copies": COPIES10,
+                    "conf": {
+                        "driver_mem": os.environ.get(
+                            "SPARK_DRIVER_MEM", "8g"
+                        ),
+                        "shuffle_partitions": 256,
+                    },
+                    "sf1": t1,
+                    "sf10": t10,
+                    "exponent": exp,
+                }
+            )
+        )
+        return
 
     t01 = run_set(spark, SRC, qs, flagship_pipeline)
     t1 = run_set(spark, OUT, qs, flagship_pipeline)
