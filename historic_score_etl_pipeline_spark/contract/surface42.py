@@ -355,22 +355,27 @@ def _staged_dlq_csv(spark: SparkSession, sf_dir: str) -> str:
     )
 
     out = app_scoped_dir(spark, "dlqcsv", sf_dir)
-    os.makedirs(out, exist_ok=True)
-    path = os.path.join(out, "docs.csv")
-    if os.path.exists(path):
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
         return out
-    rows = (
+    # df.write-based staging (ADVICE r6 idiom: no whole-table collect);
+    # the poison value is computed in-plan, the CSV lands from the
+    # executors (per-part-file headers are stripped by the header read).
+    (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .collect()
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("oops"))
+            .otherwise(F.col("n_chars").cast("string"))
+            .alias("nc"),
+        )
+        .write.option("header", "true")
+        .mode("overwrite")
+        .csv(out)
     )
-    tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        f.write("doc_id,lang,nc\n")
-        for r in sorted(rows, key=lambda r: r["doc_id"]):
-            nc = "oops" if r["doc_id"] % 7 == 0 else str(r["n_chars"])
-            f.write(f"{r['doc_id']},{r['lang']},{nc}\n")
-    os.replace(tmp, path)
+    with open(done, "w") as f:
+        f.write("ok")
     return out
 
 

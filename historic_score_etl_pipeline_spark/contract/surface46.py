@@ -347,24 +347,23 @@ def _staged_wholefiles(spark: SparkSession, sf_dir: str) -> str:
     )
 
     out = app_scoped_dir(spark, "whole", sf_dir)
-    os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
-    rows = (
+    # df.write-based staging (ADVICE r6 idiom: no whole-table collect):
+    # repartition("lang") puts each lang wholly in one task and
+    # sortWithinPartitions keeps doc_id order inside it, so partitionBy
+    # emits exactly ONE doc_id-ordered text file per lang=... dir.
+    (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .collect()
+        .select("lang", "doc_id", F.col("text").alias("value"))
+        .repartition("lang")
+        .sortWithinPartitions("lang", "doc_id")
+        .select("lang", "value")
+        .write.partitionBy("lang")
+        .mode("overwrite")
+        .text(out)
     )
-    by_lang: dict[str, list] = {}
-    for r in rows:
-        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["text"]))
-    for lang, docs in by_lang.items():
-        docs.sort()
-        tmp = os.path.join(out, f".{lang}.{os.getpid()}.tmp")
-        with open(tmp, "w") as f:
-            f.write("\n".join(t for _i, t in docs))
-        os.replace(tmp, os.path.join(out, f"{lang}.txt"))
     with open(marker, "w") as f:
         f.write("ok")
     return out
@@ -372,20 +371,27 @@ def _staged_wholefiles(spark: SparkSession, sf_dir: str) -> str:
 
 def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wholetext read: one row per staged lang file; recover per-file
-    line count and char count."""
+    line count and char count.  The text writer terminates the last
+    record too, so the scan strips exactly one trailing newline to
+    keep the join-by-newline accounting (n_chars = Σlen + n − 1)."""
     path = _staged_wholefiles(spark, sf_dir)
     # NOTE: the wholetext switch must be the text() KWARG — the
     # .option("wholetext", ...) spelling is silently overridden by the
     # method's own default (measured: 500 line-rows instead of 5 files)
-    df = spark.read.text(
-        os.path.join(path, "*.txt"), wholetext=True
-    ).withColumn(
-        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    df = (
+        spark.read.text(
+            os.path.join(path, "lang=*", "part-*"), wholetext=True
+        )
+        .withColumn(
+            "lang",
+            F.regexp_extract(F.input_file_name(), r"lang=([^/]+)/", 1),
+        )
+        .withColumn("body", F.regexp_replace("value", r"\n$", ""))
     )
     return df.select(
-        F.regexp_replace("fname", r"\.txt$", "").alias("lang"),
-        (F.size(F.split(F.col("value"), "\n", -1))).cast("long").alias("n_lines"),
-        F.length("value").cast("long").alias("n_chars_total"),
+        "lang",
+        (F.size(F.split(F.col("body"), "\n", -1))).cast("long").alias("n_lines"),
+        F.length("body").cast("long").alias("n_chars_total"),
     )
 
 

@@ -104,35 +104,31 @@ def _staged_int96(spark: SparkSession, sf_dir: str) -> str:
     out = app_scoped_dir(spark, "int96", sf_dir)
     done = os.path.join(out, "_STAGED")
     if not os.path.exists(done):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(out, exist_ok=True)
-        rows = (
-            load_table(spark, sf_dir, "orders")
-            .select(
-                F.col("o_orderkey").cast("long").alias("k"),
-                F.col("o_orderdate").cast("timestamp").alias("ts"),
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                .cast("long")
-                .alias("cents"),
+        # df.write-based staging (ADVICE r6 idiom: no whole-table
+        # collect): Spark's own parquet writer emits the legacy INT96
+        # physical type under spark.sql.parquet.outputTimestampType —
+        # conf is set for the write and restored after.
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "INT96")
+        try:
+            (
+                load_table(spark, sf_dir, "orders")
+                .select(
+                    F.col("o_orderkey").cast("long").alias("k"),
+                    F.col("o_orderdate").cast("timestamp").alias("ts"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")
+                    .alias("cents"),
+                )
+                .write.mode("overwrite")
+                .parquet(out)
             )
-            .collect()
-        )
-        t = pa.table(
-            {
-                "k": pa.array([r["k"] for r in rows], pa.int64()),
-                "ts": pa.array(
-                    [r["ts"] for r in rows], pa.timestamp("us")
-                ),
-                "cents": pa.array([r["cents"] for r in rows], pa.int64()),
-            }
-        )
-        pq.write_table(
-            t,
-            os.path.join(out, "orders_int96.parquet"),
-            use_deprecated_int96_timestamps=True,
-        )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         with open(done, "w") as f:
             f.write("ok")
     return out

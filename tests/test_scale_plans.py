@@ -650,3 +650,46 @@ def test_dynamic_partition_pruning_fires(spark, sf_oracle, tmp_path):
     # and the pruning is real: only the dim's years survive
     years = {r["ship_year"] for r in joined.select("ship_year").distinct().collect()}
     assert years and all(y >= 1997 for y in years)
+
+
+def test_contract_collect_allowlist():
+    """Fixture-staging rule (ARCHITECTURE.md §"Fixture staging rule",
+    VERDICT r6 ask #5): no contract module may ``.collect()`` a
+    whole-table DataFrame to the driver.  Every ``.collect()`` under
+    contract/ must be on this allowlist of bounded driver folds —
+    adding a new one means justifying it here, same discipline as the
+    scalar-folding plan budget."""
+    import glob
+    import os
+
+    import historic_score_etl_pipeline_spark.contract as contract_pkg
+
+    # file -> (max occurrences, why each is bounded)
+    allowed = {
+        "surface16.py": (1, "per-lang temperature weights: |langs| rows, a plan-shaping scalar fold"),
+        "surface19.py": (1, "blob staging bounded by doc_id < _N_BLOB_FILES (constant)"),
+        "surface89.py": (1, "manifest summary: one (rows, md5) row per shard, shards is a constant"),
+    }
+    pkg_dir = os.path.dirname(contract_pkg.__file__)
+    offenders: list[str] = []
+    for path in sorted(glob.glob(os.path.join(pkg_dir, "*.py"))):
+        name = os.path.basename(path)
+        import ast
+
+        with open(path) as f:
+            tree = ast.parse(f.read())
+        # count real call sites (AST), not mentions in docstrings
+        n = sum(
+            1
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "collect"
+        )
+        cap = allowed.get(name, (0, ""))[0]
+        if n > cap:
+            offenders.append(f"{name}: {n} .collect() call(s), allowed {cap}")
+    assert not offenders, (
+        "unallowlisted driver collect in contract modules (stage via "
+        f"df.write per ARCHITECTURE.md): {offenders}"
+    )

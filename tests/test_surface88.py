@@ -37,9 +37,12 @@ def test_bridge_allocation_conserves(spark, sf_oracle):
 def test_int96_decode_law(spark, sf_oracle):
     import pyarrow.parquet as pq
 
+    import glob
+
     path = surface88._staged_int96(spark, sf_oracle)
-    # the staged file genuinely carries the INT96 physical type
-    md = pq.ParquetFile(f"{path}/orders_int96.parquet").metadata
+    # the staged files genuinely carry the INT96 physical type
+    part = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    md = pq.ParquetFile(part).metadata
     idx = md.schema.to_arrow_schema().get_field_index("ts")
     assert md.row_group(0).column(idx).physical_type == "INT96"
     want = defaultdict(lambda: [0, 0])
