@@ -279,15 +279,23 @@ FROM wide
 
 def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-weighted mean discount per return flag: Σ(w·x) div Σw,
-    w = extendedprice cents, x = discount micros — exact integers."""
+    w = extendedprice cents, x = discount micros — exact integers.
+    The accumulation runs in DECIMAL(38,0) (HUGEINT in the oracle):
+    per-row w·x is ~1e12, so an int64 Σ saturates near sf5 — the MEAN
+    is therefore overflow-free at any scale.  The reported raw ``sum_wx``
+    column is still emitted as BIGINT for the stable contract schema,
+    which bounds *that column* (not the statistic) at ~sf4."""
     li = load_table(spark, sf_dir, "lineitem")
     w = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     x = F.floor(F.col("l_discount") * 1e6 + F.lit(0.5)).cast("long")
     base = li.select("l_returnflag", w.alias("w"), x.alias("x"))
+    wx_dec = F.col("w").cast("decimal(38,0)") * F.col("x")
     return base.groupBy("l_returnflag").agg(
         F.sum("w").cast("long").alias("sum_w"),
-        F.sum(F.col("w") * F.col("x")).cast("long").alias("sum_wx"),
-        F.expr("sum(w * x) div sum(w)").cast("long").alias("wmean_disc_micros"),
+        F.sum(wx_dec).cast("long").alias("sum_wx"),
+        F.expr(
+            "CAST(sum(CAST(w AS DECIMAL(38,0)) * x) div sum(w) AS BIGINT)"
+        ).alias("wmean_disc_micros"),
     )
 
 
@@ -300,8 +308,9 @@ WITH base AS (
 )
 SELECT l_returnflag,
        CAST(sum(w) AS BIGINT) AS sum_w,
-       CAST(sum(w * x) AS BIGINT) AS sum_wx,
-       CAST(sum(w * x) // sum(w) AS BIGINT) AS wmean_disc_micros
+       CAST(sum(CAST(w AS HUGEINT) * x) AS BIGINT) AS sum_wx,
+       CAST(sum(CAST(w AS HUGEINT) * x) // sum(w) AS BIGINT)
+         AS wmean_disc_micros
 FROM base GROUP BY l_returnflag
 """
 

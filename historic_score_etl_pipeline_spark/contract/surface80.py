@@ -196,12 +196,15 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
         )
     )
-    # 1-row corpus-size scalar broadcast (scalar-folding rule)
+    # 1-row corpus-size scalar broadcast (scalar-folding rule).
+    # The cross-multiplied VMR comparison runs in DECIMAL(38,0)
+    # (HUGEINT in the oracle): d_total·Σx² is ~1e20 at web scale —
+    # past int64 — while the reported sums themselves stay int64-safe.
     joined = stats.crossJoin(F.broadcast(n_docs))
-    vmr_num = F.col("d_total") * F.col("sum_x2") - F.col("sum_x") * F.col(
-        "sum_x"
-    )
-    vmr_den = (F.col("d_total") - 1) * F.col("sum_x")
+    d_dec = F.col("d_total").cast("decimal(38,0)")
+    sx_dec = F.col("sum_x").cast("decimal(38,0)")
+    vmr_num = d_dec * F.col("sum_x2") - sx_dec * F.col("sum_x")
+    vmr_den = (d_dec - 1) * F.col("sum_x")
     return joined.select(
         "w",
         "doc_freq",
@@ -235,10 +238,12 @@ WITH per_doc AS (
   FROM per_doc p JOIN top ON p.w = top.w GROUP BY p.w
 )
 SELECT w, doc_freq, sum_x, sum_x2, d_total,
-       CAST(CASE WHEN d_total * sum_x2 - sum_x * sum_x
-                      > (d_total - 1) * sum_x THEN 1
-                 WHEN d_total * sum_x2 - sum_x * sum_x
-                      < (d_total - 1) * sum_x THEN -1
+       CAST(CASE WHEN CAST(d_total AS HUGEINT) * sum_x2
+                      - CAST(sum_x AS HUGEINT) * sum_x
+                      > CAST(d_total - 1 AS HUGEINT) * sum_x THEN 1
+                 WHEN CAST(d_total AS HUGEINT) * sum_x2
+                      - CAST(sum_x AS HUGEINT) * sum_x
+                      < CAST(d_total - 1 AS HUGEINT) * sum_x THEN -1
                  ELSE 0 END AS BIGINT) AS bursty_sign
 FROM stats, nd
 """
