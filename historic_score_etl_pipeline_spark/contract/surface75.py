@@ -162,7 +162,12 @@ FROM ov JOIN qs ON ov.a = qs.vec_id
 def event_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiD on events-per-active-user-day (treat = user_id % 5 = 0, post
     = day > 15): all four cells exact, DiD as one cross-multiplied
-    rational + ppm fixpoint."""
+    rational + ppm fixpoint.  The rational runs in DECIMAL(38,0)
+    (HUGEINT in the oracle): its denominator is the product of FOUR
+    user-day counts, which passes int64 already at ~55k user-days per
+    cell (sf0.1 trips it — found by the round-7 sf0.1 parity sweep);
+    the decimal form is exact to ~1e8 user-days per cell.  Only the
+    int64-safe cells and the ppm fixpoint are emitted."""
     ev = load_table(spark, sf_dir, "events")
     cells = (
         ev.select(
@@ -187,23 +192,26 @@ def event_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0, 0, "e").alias("e_c1"), pick(0, 0, "u").alias("u_c1"),
         pick(0, 1, "e").alias("e_c2"), pick(0, 1, "u").alias("u_c2"),
     )
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
     num = (
-        (F.col("e_t2") * F.col("u_t1") - F.col("e_t1") * F.col("u_t2"))
+        (d("e_t2") * F.col("u_t1") - d("e_t1") * F.col("u_t2"))
         * F.col("u_c1") * F.col("u_c2")
-        - (F.col("e_c2") * F.col("u_c1") - F.col("e_c1") * F.col("u_c2"))
+        - (d("e_c2") * F.col("u_c1") - d("e_c1") * F.col("u_c2"))
         * F.col("u_t1") * F.col("u_t2")
     )
-    den = F.col("u_t1") * F.col("u_t2") * F.col("u_c1") * F.col("u_c2")
+    den = d("u_t1") * F.col("u_t2") * F.col("u_c1") * F.col("u_c2")
     return row.select(
         "e_t1", "u_t1", "e_t2", "u_t2", "e_c1", "u_c1", "e_c2", "u_c2",
-        num.cast("long").alias("did_num"),
-        den.cast("long").alias("did_den"),
+        num.alias("did_num_dec"),
+        den.alias("did_den_dec"),
     ).select(
         "e_t1", "u_t1", "e_t2", "u_t2", "e_c1", "u_c1", "e_c2", "u_c2",
-        "did_num", "did_den",
         F.expr(
-            "CASE WHEN did_den > 0"
-            " THEN CAST((did_num * 1000000) div did_den AS BIGINT) END"
+            "CASE WHEN did_den_dec > 0"
+            " THEN CAST((did_num_dec * 1000000) div did_den_dec AS BIGINT)"
+            " END"
         ).alias("did_ppm"),
     )
 
@@ -228,13 +236,13 @@ WITH cells AS (
   FROM cells
 )
 SELECT *,
-       CAST((e_t2 * u_t1 - e_t1 * u_t2) * u_c1 * u_c2
-            - (e_c2 * u_c1 - e_c1 * u_c2) * u_t1 * u_t2 AS BIGINT) AS did_num,
-       CAST(u_t1 * u_t2 * u_c1 * u_c2 AS BIGINT) AS did_den,
-       CAST(CASE WHEN u_t1 * u_t2 * u_c1 * u_c2 > 0 THEN
-         (((e_t2 * u_t1 - e_t1 * u_t2) * u_c1 * u_c2
-           - (e_c2 * u_c1 - e_c1 * u_c2) * u_t1 * u_t2) * 1000000)
-         // (u_t1 * u_t2 * u_c1 * u_c2) END AS BIGINT) AS did_ppm
+       CAST(CASE WHEN CAST(u_t1 AS HUGEINT) * u_t2 * u_c1 * u_c2 > 0 THEN
+         (((CAST(e_t2 AS HUGEINT) * u_t1 - CAST(e_t1 AS HUGEINT) * u_t2)
+             * u_c1 * u_c2
+           - (CAST(e_c2 AS HUGEINT) * u_c1 - CAST(e_c1 AS HUGEINT) * u_c2)
+             * u_t1 * u_t2) * 1000000)
+         // (CAST(u_t1 AS HUGEINT) * u_t2 * u_c1 * u_c2) END AS BIGINT)
+         AS did_ppm
 FROM row1
 """
 

@@ -68,6 +68,8 @@ def test_did_cells_reconcile(spark, sf_oracle):
     assert (row["e_t2"], row["u_t2"]) == (e[(1, 1)], len(ud[(1, 1)]))
     assert (row["e_c1"], row["u_c1"]) == (e[(0, 0)], len(ud[(0, 0)]))
     assert (row["e_c2"], row["u_c2"]) == (e[(0, 1)], len(ud[(0, 1)]))
+    # replay the cross-multiplied rational in Python bigints (the query
+    # computes it in DECIMAL(38,0) — int64 overflows at sf0.1 cells)
     num = (
         (row["e_t2"] * row["u_t1"] - row["e_t1"] * row["u_t2"])
         * row["u_c1"] * row["u_c2"]
@@ -75,7 +77,9 @@ def test_did_cells_reconcile(spark, sf_oracle):
         * row["u_t1"] * row["u_t2"]
     )
     den = row["u_t1"] * row["u_t2"] * row["u_c1"] * row["u_c2"]
-    assert (row["did_num"], row["did_den"]) == (num, den)
+    # div truncates toward zero in BOTH engines (verified) — replay that
+    q = abs(num * 1_000_000) // den
+    assert row["did_ppm"] == (q if num >= 0 else -q)
     # the rational equals the float DiD it fixpoints
     did = (
         row["e_t2"] / row["u_t2"] - row["e_t1"] / row["u_t1"]
