@@ -386,7 +386,10 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.regexp_extract(F.input_file_name(), r"lang=([^/]+)/", 1),
         )
-        .withColumn("body", F.regexp_replace("value", r"\n$", ""))
+        # \z (absolute end of input) not $: Java's $ also matches *before*
+        # a final line terminator, so a file ending "\n\n" would lose TWO
+        # newlines and break the n_chars = Σlen + n − 1 accounting.
+        .withColumn("body", F.regexp_replace("value", r"\n\z", ""))
     )
     return df.select(
         "lang",

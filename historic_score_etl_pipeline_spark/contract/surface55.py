@@ -283,8 +283,9 @@ def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     The accumulation runs in DECIMAL(38,0) (HUGEINT in the oracle):
     per-row w·x is ~1e12, so an int64 Σ saturates near sf5 — the MEAN
     is therefore overflow-free at any scale.  The reported raw ``sum_wx``
-    column is still emitted as BIGINT for the stable contract schema,
-    which bounds *that column* (not the statistic) at ~sf4."""
+    column is still emitted as BIGINT for the stable contract schema via
+    try_cast on BOTH engines (ADVICE r7), so past ~sf4 it degrades to
+    NULL identically instead of Spark-NULL-vs-DuckDB-error divergence."""
     li = load_table(spark, sf_dir, "lineitem")
     w = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     x = F.floor(F.col("l_discount") * 1e6 + F.lit(0.5)).cast("long")
@@ -292,7 +293,7 @@ def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     wx_dec = F.col("w").cast("decimal(38,0)") * F.col("x")
     return base.groupBy("l_returnflag").agg(
         F.sum("w").cast("long").alias("sum_w"),
-        F.sum(wx_dec).cast("long").alias("sum_wx"),
+        F.sum(wx_dec).try_cast("long").alias("sum_wx"),
         F.expr(
             "CAST(sum(CAST(w AS DECIMAL(38,0)) * x) div sum(w) AS BIGINT)"
         ).alias("wmean_disc_micros"),
@@ -308,7 +309,7 @@ WITH base AS (
 )
 SELECT l_returnflag,
        CAST(sum(w) AS BIGINT) AS sum_w,
-       CAST(sum(CAST(w AS HUGEINT) * x) AS BIGINT) AS sum_wx,
+       TRY_CAST(sum(CAST(w AS HUGEINT) * x) AS BIGINT) AS sum_wx,
        CAST(sum(CAST(w AS HUGEINT) * x) // sum(w) AS BIGINT)
          AS wmean_disc_micros
 FROM base GROUP BY l_returnflag

@@ -58,8 +58,16 @@ def _staged_packed_records(spark: SparkSession, sf_dir: str) -> str:
         # No native Spark writer exists for raw packed-binary, so each
         # TASK packs and writes its own shard file — data never visits
         # the driver (ADVICE r6: the old collect() here would OOM at
-        # scale).  Local-mode tasks share the FS; on a cluster `out`
-        # would be a shared mount.
+        # scale).  Executor-side open() only lands in this dir when
+        # executors share the driver's filesystem, so fail loudly off
+        # local mode (ADVICE r7) instead of staging an empty fixture;
+        # a cluster deployment would point `out` at a shared mount.
+        if not spark.sparkContext.master.startswith("local"):
+            raise RuntimeError(
+                "packed-record staging requires local mode (executor "
+                "open() writes to the driver-local app dir); on a "
+                "cluster, stage to a shared mount instead"
+            )
         df = (
             load_table(spark, sf_dir, "orders")
             .select(

