@@ -169,9 +169,15 @@ def window_best_split_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wfull).alias("n"),
     ).where(F.col("i") < F.col("n"))
     # score_ppm = |s_i/i − (s_n−s_i)/(n−i)| · 1e6, computed as ONE
-    # integer division of cross-multiplied terms (exact definition)
+    # integer division of cross-multiplied terms (exact definition).
+    # The cross product runs in DECIMAL(38,0)/HUGEINT: s_i·(n−i)·1e6
+    # reaches ~3.6e18 per supplier already at sf1 (n≈600 rows of ≤1e7
+    # cents) and exceeds int64 past ~sf2 — same overflow class the r7
+    # sf0.1 sweep caught in event_did_estimator; found by the r8
+    # int-product AST audit.
     score = F.expr(
-        "abs(s_i * (n - i) - (s_n - s_i) * i) * 1000000"
+        "abs(CAST(s_i AS DECIMAL(38,0)) * (n - i)"
+        " - (CAST(s_n AS DECIMAL(38,0)) - s_i) * i) * 1000000"
         " div (i * (n - i))"
     )
     scored = pre.select(
@@ -210,10 +216,12 @@ WITH px AS (
                l_linenumber)
 ), scored AS (
   SELECT sk, i, n,
-         abs(s_i * (n - i) - (s_n - s_i) * i) * 1000000
+         abs(CAST(s_i AS HUGEINT) * (n - i)
+             - (CAST(s_n AS HUGEINT) - s_i) * i) * 1000000
            // (i * (n - i)) AS score_ppm,
          row_number() OVER (PARTITION BY sk ORDER BY
-           abs(s_i * (n - i) - (s_n - s_i) * i) * 1000000
+           abs(CAST(s_i AS HUGEINT) * (n - i)
+               - (CAST(s_n AS HUGEINT) - s_i) * i) * 1000000
              // (i * (n - i)) DESC, i) AS rnk
   FROM pre WHERE i < n
 )

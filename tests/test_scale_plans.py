@@ -668,7 +668,7 @@ def test_contract_collect_allowlist():
     allowed = {
         "surface16.py": (1, "per-lang temperature weights: |langs| rows, a plan-shaping scalar fold"),
         "surface19.py": (1, "blob staging bounded by doc_id < _N_BLOB_FILES (constant)"),
-        "surface89.py": (1, "manifest summary: one (rows, md5) row per shard, shards is a constant"),
+        "surface89.py": (1, "manifest summary: one (rows, xor_sig, sum_sig) row per shard, shards is a constant"),
     }
     pkg_dir = os.path.dirname(contract_pkg.__file__)
     offenders: list[str] = []
@@ -692,4 +692,189 @@ def test_contract_collect_allowlist():
     assert not offenders, (
         "unallowlisted driver collect in contract modules (stage via "
         f"df.write per ARCHITECTURE.md): {offenders}"
+    )
+
+
+def test_contract_int_product_overflow_audit():
+    """int64-overflow-product audit (VERDICT r7 ask #3): the sf0.1 sweep
+    caught ``event_did_estimator`` and review caught
+    ``agg_budget_apportionment`` — both the same class, a ≥3-factor
+    integer multiplication chain whose factors grow with data scale, run
+    in BIGINT.  This walks every contract module's AST (Python ``*``
+    chains AND Spark-side expression strings) and fails any such chain
+    that is not (a) compile-time-constant, (b) floating-point, (c) cast
+    to DECIMAL(38,0)/HUGEINT inside the chain, or (d) allowlisted below
+    WITH its scale bound.  Adding a new chain means proving its bound
+    here — the same discipline as the collect allowlist."""
+    import ast
+    import glob
+    import os
+    import re
+
+    import historic_score_etl_pipeline_spark.contract as contract_pkg
+
+    # file -> [(segment substring, documented scale bound)]
+    allowed = {
+        "surface9.py": [
+            (
+                'tenth * _money("p_retailprice") * _money("l_quantity")',
+                "all three factors are DECIMAL (_money casts, tenth is "
+                "DECIMAL(3,1)) — per-row product stays decimal",
+            ),
+        ],
+        "surface34.py": [
+            (
+                'F.col("x") * F.col("x")',
+                "x is cast decimal(38,0) at build (surface34.py:288); "
+                "x^4 <= (1e7)^4 = 1e28 < 10^38 at |value| <= 1e5",
+            ),
+            (
+                "mean * mean",
+                "mean/s2/s3/s4 are all .cast('double') ratios — the "
+                "moment algebra runs in floating point by construction",
+            ),
+        ],
+        "surface49.py": [
+            (
+                'F.lit(5) * F.col("qty") * F.col("n_lines")',
+                "qty <= 50 (TPC-H l_quantity) and n_lines is lines per "
+                "partkey, a fixed ~30-row ratio at any SF: product < 1e5",
+            ),
+        ],
+        "surface75.py": [
+            (
+                'd("',
+                "DID estimator: d() casts the first factor to "
+                "decimal(38,0), so every chain runs decimal end-to-end "
+                "(the r7 overflow fix itself)",
+            ),
+        ],
+        # Spark-side expression strings
+        "extensions.py": [
+            (
+                "2654435769",
+                "Knuth multiplicative hash mix: every operand is "
+                "mod-reduced below 2^31 before each product, so each "
+                "product < 2^62",
+            ),
+        ],
+        "surface30.py": [
+            (
+                "2654435769",
+                "same mod-reduced hash mix as extensions.py (< 2^62 per "
+                "step)",
+            ),
+        ],
+        "surface41.py": [
+            (
+                "idf_fp * 22 * avgdl * tf",
+                "BM25 fixpoint: idf_fp <= ln(N)*1e6 (~26e6 at 100 TB), "
+                "avgdl/dl/tf are per-doc stats independent of corpus "
+                "size (<= ~1e4): product < 6e16",
+            ),
+        ],
+        "surface43.py": [
+            (
+                "(n*v - s) * (n*v - s)",
+                "exact-integer z^2 form, valid for n <= ~3000 rows per "
+                "stats group; bound documented in the docstring with "
+                "the production alternative (pre-center or doubles)",
+            ),
+        ],
+        "surface85.py": [
+            (
+                "1000 * ((1000 * w)",
+                "the two-stage x1000 apportionment identity (r6 ADVICE "
+                "fix): each staged product is 1000*quotient or "
+                "1000*remainder with remainder < t, so every term < "
+                "1000*sum(w) — one decimal order above the cents sum",
+            ),
+        ],
+    }
+    const_name = re.compile(r"_?[A-Z][A-Z0-9_]*$")
+    float_marker = re.compile(r'\d\.\d|\de-?\d|"double"')
+    # single slash = true division -> double result in pyspark Columns
+    true_div = re.compile(r"(?<!/)/(?!/)")
+    decimal_marker = re.compile(r"decimal\s*\(\s*38|HUGEINT", re.I)
+    # >=3 multiplicative factors inside an expression string
+    str_chain = re.compile(r"([\w\]\)\"\']+\s*\*\s*){2,}[\w\(\"\'-]")
+
+    def flatten_mult(node):
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
+            out = []
+            for side in (node.left, node.right):
+                sub = flatten_mult(side)
+                out.extend(sub if sub else [side])
+            return out
+        return None
+
+    def is_const_factor(node) -> bool:
+        if isinstance(node, ast.Constant):
+            return True
+        if isinstance(node, ast.UnaryOp) and isinstance(node.operand, ast.Constant):
+            return True
+        return isinstance(node, ast.Name) and bool(const_name.match(node.id))
+
+    def allowlisted(name: str, seg: str) -> bool:
+        return any(sub in seg for sub, _bound in allowed.get(name, []))
+
+    pkg_dir = os.path.dirname(contract_pkg.__file__)
+    offenders: list[str] = []
+    for path in sorted(glob.glob(os.path.join(pkg_dir, "*.py"))):
+        name = os.path.basename(path)
+        src = open(path).read()
+        tree = ast.parse(src)
+        docstrings = set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                body = getattr(node, "body", [])
+                if body and isinstance(body[0], ast.Expr) and isinstance(
+                    body[0].value, ast.Constant
+                ):
+                    docstrings.add(id(body[0].value))
+        seen = set()
+        for node in ast.walk(tree):
+            # -- Python-level * chains --
+            factors = flatten_mult(node)
+            if factors and len(factors) >= 3 and node.lineno not in seen:
+                seen.add(node.lineno)
+                seg = ast.get_source_segment(src, node) or ""
+                flat = " ".join(seg.split())
+                if all(is_const_factor(f) for f in factors):
+                    continue  # compile-time constant
+                if float_marker.search(flat) or true_div.search(flat):
+                    continue  # floating-point chain
+                if decimal_marker.search(flat):
+                    continue  # already decimal-typed
+                if allowlisted(name, flat):
+                    continue
+                offenders.append(f"{name}:{node.lineno}: {flat[:90]}")
+            # -- Spark-side expression strings (oracle SQL has FROM; the
+            #    DuckDB side raises loudly on int64 overflow, and the
+            #    sf0.1 sweep covers it — audit the Spark fragments) --
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and id(node) not in docstrings
+                and "FROM" not in node.value
+            ):
+                s = " ".join(node.value.split())
+                for m in str_chain.finditer(s):
+                    frag = s[max(0, m.start() - 40) : m.end() + 40]
+                    key = (name, node.lineno, m.start())
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    if decimal_marker.search(s):
+                        break
+                    if float_marker.search(frag):
+                        continue
+                    if allowlisted(name, s):
+                        break
+                    offenders.append(f"{name}:{node.lineno}: ...{frag}...")
+    assert not offenders, (
+        "unallowlisted >=3-factor integer product in contract code — "
+        "run it in DECIMAL(38,0)/HUGEINT on BOTH engines or allowlist "
+        "it with a proven scale bound (ARCHITECTURE.md int64-overflow "
+        f"pattern): {offenders}"
     )
