@@ -81,6 +81,12 @@ SF10_HEAVIES = [
     "graph_triangle_count",
     "graph_pagerank",
     "dedup_pipeline_e2e",
+    # round-8 additions (VERDICT r7 ask #7): next heavies by sf1 cost —
+    # all three touch only the tables the sf10 replica already tiles
+    # (lineitem co-order graph, token-suffixed documents)
+    "graph_hits_two_rounds",
+    "graph_kcore_two_pass",
+    "text_bigram_surprisal",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100

@@ -6,7 +6,8 @@ Usage: python run_parity.py [--hostile] [query ...]   (default: all, at sf0.01)
 --hostile runs under a deliberately adversarial session — TIMESTAMP_NTZ
 inference on, non-UTC timezone, AQE off, odd shuffle partitioning — the
 conditions an external harness session may impose.  Every contract query
-must pass BOTH modes (round-2 full sweep: 153/153 in each).
+must pass BOTH modes (round-8 full sweeps: 527/527 in each; the first
+full hostile sweep since the registry grew past 153 keys).
 """
 
 from __future__ import annotations

@@ -113,12 +113,20 @@ def test_manifest_verification_law(spark, sf_oracle):
     assert set(got) == set(shards)
     for sid, keys in shards.items():
         assert got[sid] == (len(keys), True)
-    # independent digest check of one shard
+    # independent digest check of one shard: replay the order-insensitive
+    # fold (bit_xor + modular sum of 60-bit md5 prefixes) in pure Python
     path = surface89._staged_manifest_write(spark, sf_oracle)
     import json
 
     manifest = json.load(open(f"{path}/_manifest.json"))
-    keys0 = sorted(shards[0])
-    assert manifest["0"]["md5"] == hashlib.md5(
-        ",".join(str(k) for k in keys0).encode()
-    ).hexdigest()
+    hs = [
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        for k in shards[0]
+    ]
+    xor = 0
+    for h in hs:
+        xor ^= h
+    assert manifest["0"]["xor_sig"] == xor
+    assert manifest["0"]["sum_sig"] == sum(
+        h % surface89._MANIFEST_MOD for h in hs
+    )
