@@ -90,11 +90,25 @@ _FULL_NODEID_PATTERNS = (
 )
 
 
+# Second tier source: tests/_tier_full_generated.txt — every test whose
+# measured wall-clock exceeded 1.0 s in a quiet `pytest -m quick -q
+# --durations=0` run (the suite cost is FLAT: ~100 surface modules of
+# ~5 s each, so a measured threshold is the only demotion rule that
+# reaches the < 5 min quick target without gutting one area's coverage).
+# Unlisted tests — including new ones — default to quick.
+_TIER_FILE = Path(__file__).parent / "_tier_full_generated.txt"
+_FULL_GENERATED = frozenset(
+    line.strip()
+    for line in _TIER_FILE.read_text().splitlines()
+    if line.strip() and not line.startswith("#")
+)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        tier = (
-            pytest.mark.full
-            if any(p in item.nodeid for p in _FULL_NODEID_PATTERNS)
-            else pytest.mark.quick
+        nid = item.nodeid
+        full = (
+            any(p in nid for p in _FULL_NODEID_PATTERNS)
+            or nid.removeprefix("tests/") in _FULL_GENERATED
         )
-        item.add_marker(tier)
+        item.add_marker(pytest.mark.full if full else pytest.mark.quick)
