@@ -208,16 +208,25 @@ def embed_metric_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.row_number().over(wd).cast("long").alias("rd"),
         F.row_number().over(wl).cast("long").alias("rl"),
     )
+    # Σd² and n·(n²−1) are both CUBIC in the per-query candidate count,
+    # so the ratio runs in DECIMAL(38,0)/HUGEINT (int64 dies past ~2.1M
+    # candidates per query); raw sum_d2 stays BIGINT for the stable
+    # contract schema via try_cast on BOTH engines (degrades to NULL
+    # identically, the surface55 pattern).  Found by the r8 2-factor
+    # agg·agg extension of the int-product audit.
     return ranked.groupBy(F.col("q_id").cast("long").alias("q_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(
-            (F.col("rd") - F.col("rl")) * (F.col("rd") - F.col("rl"))
+            (F.col("rd") - F.col("rl")).cast("decimal(38,0)")
+            * (F.col("rd") - F.col("rl"))
         )
-        .cast("long")
+        .try_cast("long")
         .alias("sum_d2"),
         F.expr(
-            "1000000 - (6 * sum((rd - rl) * (rd - rl)) * 1000000)"
-            " div (count(*) * (count(*) * count(*) - 1))"
+            "1000000 - (6 * sum(CAST(rd - rl AS DECIMAL(38,0)) * (rd - rl))"
+            " * 1000000)"
+            " div (CAST(count(*) AS DECIMAL(38,0)) * count(*) * count(*)"
+            " - count(*))"
         )
         .cast("long")
         .alias("spearman_ppm"),
@@ -246,9 +255,12 @@ WITH fx AS (
 )
 SELECT CAST(q_id AS BIGINT) AS q_id,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum((rd - rl) * (rd - rl)) AS BIGINT) AS sum_d2,
-       CAST(1000000 - (6 * sum((rd - rl) * (rd - rl)) * 1000000)
-            // (count(*) * (count(*) * count(*) - 1)) AS BIGINT)
+       TRY_CAST(sum(CAST(rd - rl AS HUGEINT) * (rd - rl)) AS BIGINT)
+         AS sum_d2,
+       CAST(1000000 - (6 * sum(CAST(rd - rl AS HUGEINT) * (rd - rl))
+            * 1000000)
+            // (CAST(count(*) AS HUGEINT) * count(*) * count(*)
+                - count(*)) AS BIGINT)
          AS spearman_ppm
 FROM ranked GROUP BY q_id
 """

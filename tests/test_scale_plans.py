@@ -798,6 +798,14 @@ def test_contract_int_product_overflow_audit():
     decimal_marker = re.compile(r"decimal\s*\(\s*38|HUGEINT", re.I)
     # >=3 multiplicative factors inside an expression string
     str_chain = re.compile(r"([\w\]\)\"\']+\s*\*\s*){2,}[\w\(\"\'-]")
+    # 2-factor products of two AGGREGATES (sum/count on both sides) —
+    # the event_did / Spearman class: each factor alone grows with data
+    # scale, so the product is quadratic+ even with only two factors
+    agg_call = re.compile(r"\b(F\.sum|F\.count|sum|count)\s*\(")
+    str_agg_pair = re.compile(
+        r"(sum|count)\s*\([^)]*\)\s*\*\s*(\w+\s*\*\s*)*(sum|count)\s*\(",
+        re.I,
+    )
 
     def flatten_mult(node):
         if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
@@ -849,6 +857,27 @@ def test_contract_int_product_overflow_audit():
                 if allowlisted(name, flat):
                     continue
                 offenders.append(f"{name}:{node.lineno}: {flat[:90]}")
+            # -- 2-factor agg*agg products (Python Column exprs) --
+            if (
+                isinstance(node, ast.BinOp)
+                and isinstance(node.op, ast.Mult)
+                and not flatten_mult(node.left)
+                and not flatten_mult(node.right)
+            ):
+                seg = " ".join((ast.get_source_segment(src, node) or "").split())
+                lseg = ast.get_source_segment(src, node.left) or ""
+                rseg = ast.get_source_segment(src, node.right) or ""
+                if (
+                    agg_call.search(lseg)
+                    and agg_call.search(rseg)
+                    and not float_marker.search(seg)
+                    and not true_div.search(seg)
+                    and not decimal_marker.search(seg)
+                    and not allowlisted(name, seg)
+                    and (name, "aggpair", node.lineno) not in seen
+                ):
+                    seen.add((name, "aggpair", node.lineno))
+                    offenders.append(f"{name}:{node.lineno}: {seg[:90]}")
             # -- Spark-side expression strings (oracle SQL has FROM; the
             #    DuckDB side raises loudly on int64 overflow, and the
             #    sf0.1 sweep covers it — audit the Spark fragments) --
@@ -862,6 +891,19 @@ def test_contract_int_product_overflow_audit():
                 for m in str_chain.finditer(s):
                     frag = s[max(0, m.start() - 40) : m.end() + 40]
                     key = (name, node.lineno, m.start())
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    if decimal_marker.search(s):
+                        break
+                    if float_marker.search(frag):
+                        continue
+                    if allowlisted(name, s):
+                        break
+                    offenders.append(f"{name}:{node.lineno}: ...{frag}...")
+                for m in str_agg_pair.finditer(s):
+                    frag = s[max(0, m.start() - 40) : m.end() + 40]
+                    key = (name, node.lineno, "aggpair", m.start())
                     if key in seen:
                         continue
                     seen.add(key)
