@@ -705,7 +705,13 @@ def test_contract_int_product_overflow_audit():
     that is not (a) compile-time-constant, (b) floating-point, (c) cast
     to DECIMAL(38,0)/HUGEINT inside the chain, or (d) allowlisted below
     WITH its scale bound.  Adding a new chain means proving its bound
-    here — the same discipline as the collect allowlist."""
+    here — the same discipline as the collect allowlist.
+
+    Scope is contract/ (where the engine-level Column/SQL arithmetic
+    lives): an r8 sweep of operators/, functions/, streaming/, plans/
+    with the same rules found only header-bounded constants (image
+    w·h·3, WAV byte rate, minhash band index) and pure-Python ints
+    inside Pandas UDFs (arbitrary precision — cannot overflow)."""
     import ast
     import glob
     import os
