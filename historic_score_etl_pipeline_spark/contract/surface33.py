@@ -187,8 +187,11 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fixpointed to 1e-6.  Degenerate nations (zero total spend)
     emit NULL — the corr-matrix zero-variance guard pattern.
 
-    Scale: Σ i·xᵢ stays < 2⁶³ through ~sf10 per nation; past that the
-    sums move to DECIMAL(38,0) — same plan, wider accumulator."""
+    Scale: Σ i·xᵢ and the (n+1)·Σx cross terms are quadratic in
+    customers-per-nation, so the rank-sum arithmetic runs in
+    DECIMAL(38,0)/HUGEINT end-to-end (same plan, wider accumulator —
+    widened in r8 by the int-product audit's Σ(a·b) extension; the old
+    BIGINT form died past ~sf10)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -207,13 +210,16 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_cust"),
-        F.sum(F.col("i") * F.col("x")).alias("s1"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("s1"),
         F.sum("x").alias("s0"),
     )
-    num = (F.lit(2) * F.col("s1") - (F.col("n_cust") + 1) * F.col("s0")).cast(
-        "double"
-    )
-    den = (F.col("n_cust") * F.col("s0")).cast("double")
+    num = (
+        F.lit(2) * F.col("s1")
+        - (F.col("n_cust") + 1).cast("decimal(38,0)") * F.col("s0")
+    ).cast("double")
+    den = (
+        F.col("n_cust").cast("decimal(38,0)") * F.col("s0")
+    ).cast("double")
     gini = F.when(
         F.col("s0") > 0,
         F.floor(num * F.lit(1e6) / den + F.lit(0.5)).cast("long"),
@@ -236,14 +242,16 @@ WITH spend AS (
 ), per AS (
   SELECT c_nationkey,
          CAST(count(*) AS BIGINT) AS n_cust,
-         CAST(sum(i * x) AS BIGINT) AS s1,
+         sum(CAST(i AS HUGEINT) * x) AS s1,
          CAST(sum(x) AS BIGINT) AS s0
   FROM ranked GROUP BY c_nationkey
 )
 SELECT c_nationkey, n_cust,
        CASE WHEN s0 > 0 THEN
-         CAST(floor(CAST(2 * s1 - (n_cust + 1) * s0 AS DOUBLE) * 1e6
-                    / CAST(n_cust * s0 AS DOUBLE) + 0.5) AS BIGINT)
+         CAST(floor(CAST(2 * s1 - (n_cust + 1) * CAST(s0 AS HUGEINT)
+                         AS DOUBLE) * 1e6
+                    / CAST(n_cust * CAST(s0 AS HUGEINT) AS DOUBLE)
+                    + 0.5) AS BIGINT)
        END AS gini_r6fp
 FROM per
 """

@@ -227,7 +227,12 @@ def embed_dim_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy(F.col("dim").cast("long").alias("dim")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("sum_fp"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("sumsq_fp"),
+        # Σv² is ~1e12 per row (micro fixpoint squared), so the int64
+        # accumulator dies past ~9M vectors: sum in DECIMAL(38,0) /
+        # HUGEINT, emit BIGINT via try_cast on BOTH engines (r8 audit)
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .try_cast("long")
+        .alias("sumsq_fp"),
         F.min("v").cast("long").alias("min_fp"),
         F.max("v").cast("long").alias("max_fp"),
     )
@@ -242,7 +247,7 @@ WITH comp AS (
 SELECT CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(v) AS BIGINT) AS sum_fp,
-       CAST(sum(v * v) AS BIGINT) AS sumsq_fp,
+       TRY_CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS sumsq_fp,
        CAST(min(v) AS BIGINT) AS min_fp,
        CAST(max(v) AS BIGINT) AS max_fp
 FROM comp GROUP BY dim

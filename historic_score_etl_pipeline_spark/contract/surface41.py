@@ -256,7 +256,11 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("w").cast("long").alias("boot_n"),
-        F.sum(F.col("w") * F.col("cents")).cast("long").alias("boot_cents"),
+        # Σw·cents grows ~5·avg_cents per row — sum in DECIMAL(38,0)/
+        # HUGEINT, emit BIGINT via try_cast on both engines (r8 audit)
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents"))
+        .try_cast("long")
+        .alias("boot_cents"),
     )
 
 
@@ -280,7 +284,7 @@ WITH base AS (
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(w) AS BIGINT) AS boot_n,
-       CAST(sum(w * cents) AS BIGINT) AS boot_cents
+       TRY_CAST(sum(CAST(w AS HUGEINT) * cents) AS BIGINT) AS boot_cents
 FROM wts GROUP BY event_type
 """
 

@@ -201,29 +201,40 @@ def agg_variance_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("x"),
         (F.col("event_id") % 2).alias("half"),
     )
+    # Σx² is ~1e10-1e14 per row squared-cents and n·q − s² is QUADRATIC
+    # in the group's totals, so the whole identity runs in
+    # DECIMAL(38,0)/HUGEINT; the raw var_num columns stay BIGINT in the
+    # contract schema via try_cast on BOTH engines (r8 audit class)
+    x2 = F.col("x").cast("decimal(38,0)") * F.col("x")
     halves = base.groupBy("event_type", "half").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
+        F.sum(x2).alias("q"),
     )
     merged = halves.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("s").cast("long").alias("s"),
-        F.sum("q").cast("long").alias("q"),
+        F.sum("q").alias("q"),
     )
     direct = base.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("dn"),
         F.sum("x").cast("long").alias("ds"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("dq"),
+        F.sum(x2).alias("dq"),
     )
     j = merged.join(direct, "event_type")
-    var_m = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    var_d = F.col("dn") * F.col("dq") - F.col("ds") * F.col("ds")
+    var_m = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    var_d = (
+        F.col("dn").cast("decimal(38,0)") * F.col("dq")
+        - F.col("ds").cast("decimal(38,0)") * F.col("ds")
+    )
     return j.select(
         "event_type",
         F.col("n"),
-        var_m.cast("long").alias("var_num_merged"),
-        var_d.cast("long").alias("var_num_direct"),
+        var_m.try_cast("long").alias("var_num_merged"),
+        var_d.try_cast("long").alias("var_num_direct"),
         (var_m == var_d).alias("merge_exact"),
     )
 
@@ -235,25 +246,32 @@ WITH base AS (
          event_id % 2 AS half
   FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), halves AS (
-  SELECT event_type, half, count(*) AS n, sum(x) AS s, sum(x*x) AS q
+  SELECT event_type, half, count(*) AS n, sum(x) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS q
   FROM base GROUP BY event_type, half
 ), merged AS (
   SELECT event_type,
          CAST(sum(n) AS BIGINT) AS n,
          CAST(sum(s) AS BIGINT) AS s,
-         CAST(sum(q) AS BIGINT) AS q
+         sum(q) AS q
   FROM halves GROUP BY event_type
 ), direct AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS dn,
          CAST(sum(x) AS BIGINT) AS ds,
-         CAST(sum(x*x) AS BIGINT) AS dq
+         sum(CAST(x AS HUGEINT) * x) AS dq
   FROM base GROUP BY event_type
 )
 SELECT m.event_type, m.n,
-       CAST(m.n * m.q - m.s * m.s AS BIGINT) AS var_num_merged,
-       CAST(d.dn * d.dq - d.ds * d.ds AS BIGINT) AS var_num_direct,
-       m.n * m.q - m.s * m.s = d.dn * d.dq - d.ds * d.ds AS merge_exact
+       TRY_CAST(CAST(m.n AS HUGEINT) * m.q
+                - CAST(m.s AS HUGEINT) * m.s AS BIGINT)
+         AS var_num_merged,
+       TRY_CAST(CAST(d.dn AS HUGEINT) * d.dq
+                - CAST(d.ds AS HUGEINT) * d.ds AS BIGINT)
+         AS var_num_direct,
+       CAST(m.n AS HUGEINT) * m.q - CAST(m.s AS HUGEINT) * m.s
+         = CAST(d.dn AS HUGEINT) * d.dq - CAST(d.ds AS HUGEINT) * d.ds
+         AS merge_exact
 FROM merged m JOIN direct d ON m.event_type = d.event_type
 """
 

@@ -62,7 +62,12 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n",
         F.sum("n").over(w).alias("s"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("q"),
+        # n = a full day's event count, so n² alone is ~1e19 at 100 TB:
+        # the squared term runs in DECIMAL(38,0)/HUGEINT (r8 audit
+        # class); q only feeds the double σ expression downstream
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .over(w)
+        .alias("q"),
         F.count("n").over(w).alias("c"),
     ).where(F.col("c") == _BB_N)
     mean_m = F.expr(f"s * 1000 div {_BB_N}")
@@ -102,7 +107,7 @@ WITH daily AS (
 ), staged AS (
   SELECT day, n,
          sum(n) OVER wtrail AS s,
-         sum(n * n) OVER wtrail AS q,
+         sum(CAST(n AS HUGEINT) * n) OVER wtrail AS q,
          count(n) OVER wtrail AS c
   FROM daily
   WINDOW wtrail AS (ORDER BY day

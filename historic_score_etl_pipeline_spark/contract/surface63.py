@@ -180,7 +180,9 @@ def event_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = tagged.agg(
         F.sum("n").cast("long").alias("t"),
         F.count(F.lit(1)).cast("long").alias("nn"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("q"),
+        # n² of a full day's count is ~1e19 at 100 TB — DECIMAL(38,0)/
+        # HUGEINT accumulator (r8 audit class); q feeds a double below
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("q"),
     )
     # the 7 tg²/ng terms sum in PINNED dow order via a sequential fold
     # (a parallel double sum could differ in the last ulp between
@@ -233,7 +235,7 @@ WITH daily AS (
   FROM tagged GROUP BY dow
 ), tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nn,
-         CAST(sum(n * n) AS BIGINT) AS q
+         sum(CAST(n AS HUGEINT) * n) AS q
   FROM tagged
 ), folded AS (
   -- sequential fold in pinned dow order (cross-engine double identity)

@@ -64,28 +64,24 @@ def event_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        # daily counts are scale-growing, so Σx², Σxy and the n·Σ − Σ·Σ
+        # cross terms are all quadratic+ — DECIMAL(38,0)/HUGEINT with
+        # try_cast BIGINT emission on both engines (r8 audit class)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
+    npd = F.col("n_pairs").cast("decimal(38,0)")
+    num = npd * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    den1 = npd * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    den2 = npd * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy")
     return t.select(
         "event_type",
         "n_pairs",
-        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("long")
-        .alias("num"),
-        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long")
-        .alias("den1"),
-        (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
-        .cast("long")
-        .alias("den2"),
-        F.signum(
-            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("double")
-        )
-        .cast("long")
-        .alias("direction"),
+        num.try_cast("long").alias("num"),
+        den1.try_cast("long").alias("den1"),
+        den2.try_cast("long").alias("den2"),
+        F.signum(num.cast("double")).cast("long").alias("direction"),
     )
 
 
@@ -105,17 +101,17 @@ WITH daily AS (
          CAST(count(*) AS BIGINT) AS n_pairs,
          CAST(sum(x) AS BIGINT) AS sx,
          CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM pairs WHERE x IS NOT NULL GROUP BY event_type
 )
 SELECT event_type, n_pairs,
-       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
-       CAST(n_pairs * sxx - sx * sx AS BIGINT) AS den1,
-       CAST(n_pairs * syy - sy * sy AS BIGINT) AS den2,
-       CAST(CASE WHEN n_pairs * sxy - sx * sy > 0 THEN 1
-                 WHEN n_pairs * sxy - sx * sy < 0 THEN -1
+       TRY_CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+       TRY_CAST(n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den1,
+       TRY_CAST(n_pairs * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den2,
+       CAST(CASE WHEN n_pairs * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+                 WHEN n_pairs * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
                  ELSE 0 END AS BIGINT) AS direction
 FROM t
 """

@@ -232,7 +232,13 @@ def event_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         x.join(y, "mid")
         .groupBy("src", "dst")
-        .agg(F.sum(F.col("nx") * F.col("ny")).cast("long").alias("paths2"))
+        # nx·ny multiplies two scale-growing transition counts — run in
+        # DECIMAL(38,0)/HUGEINT, emit BIGINT via try_cast (r8 audit)
+        .agg(
+            F.sum(F.col("nx").cast("decimal(38,0)") * F.col("ny"))
+            .try_cast("long")
+            .alias("paths2")
+        )
     )
 
 
@@ -246,7 +252,8 @@ WITH seq AS (
   SELECT a, b, CAST(count(*) AS BIGINT) AS n
   FROM seq WHERE b IS NOT NULL GROUP BY a, b
 )
-SELECT x.a AS src, y.b AS dst, CAST(sum(x.n * y.n) AS BIGINT) AS paths2
+SELECT x.a AS src, y.b AS dst,
+       TRY_CAST(sum(CAST(x.n AS HUGEINT) * y.n) AS BIGINT) AS paths2
 FROM n1 x JOIN n1 y ON x.b = y.a GROUP BY 1, 2
 """
 

@@ -727,6 +727,104 @@ def test_contract_int_product_overflow_audit():
                 "all three factors are DECIMAL (_money casts, tenth is "
                 "DECIMAL(3,1)) — per-row product stays decimal",
             ),
+            (
+                '_money("l_extendedprice") * _money("l_discount")',
+                "Q6 revenue: both factors DECIMAL(12,2) via _money — "
+                "the sum accumulates in Spark/DuckDB decimal",
+            ),
+        ],
+        "surface23.py": [
+            (
+                "F.sum(q * ",
+                "corr-matrix moments: q/p/d are cast decimal(12,2) at "
+                "surface23.py:72-74, so every product/sum is decimal",
+            ),
+            ("F.sum(p * ", "same decimal(12,2) upstream cast"),
+            ("F.sum(d * ", "same decimal(12,2) upstream cast"),
+        ],
+        "surface28.py": [
+            (
+                "F.sum(diff * diff)",
+                "centroid distance: groups are one vector x label = 64 "
+                "dims; |diff| <= 2e6 micro -> sum <= 64*4e12 ~ 2.6e14",
+            ),
+        ],
+        "surface31.py": [
+            (
+                "F.sum(F.col(\"x\") * ",
+                "Zipf fit is over rank <= _ZIPF_TOPK only (documented "
+                "at surface31.py:226-228): x <= ln(K)*1e6, y <= "
+                "ln(freq)*1e6 ~ 4e7 -> Sxy <= K*4e14, K-bounded",
+            ),
+        ],
+        "surface39.py": [
+            (
+                "F.sum(diff * diff)",
+                "k-means d2: per-(vec,label,centroid) group is 64 dims "
+                "of micro components — same 2.6e14 bound as surface28",
+            ),
+        ],
+        "surface56.py": [
+            (
+                "(fr * fr).sum()",
+                "audio frame energy: numpy int64 over one _FRAME-sized "
+                "frame of byte-derived samples (<= 255^2 per sample)",
+            ),
+        ],
+        "surface59.py": [
+            (
+                "sum(share_ppm * share_ppm)",
+                "HHI: shares sum to 1e6 per nation by construction, so "
+                "sum(share^2) <= 1e12 regardless of supplier count",
+            ),
+        ],
+        "surface62.py": [
+            (
+                'F.sum(F.col("dx") * F.col("dy"))',
+                "assortativity on the part co-order graph: degree is "
+                "bounded by the FIXED TPC-H lines-per-part x "
+                "lines-per-order ratio (~180 at any SF), so "
+                "dx*dy <= ~3e4 per edge",
+            ),
+            (
+                'F.sum(F.col("dx") * F.col("dx"))',
+                "same fixed-ratio degree bound",
+            ),
+            (
+                'F.sum(F.col("dy") * F.col("dy"))',
+                "same fixed-ratio degree bound",
+            ),
+        ],
+        "surface65.py": [
+            (
+                "F.sum(cents * qty)",
+                "VWAP running sum: cents*qty <= 5e8/row and rows per "
+                "partkey is the FIXED ~30 lineitem/part TPC-H ratio at "
+                "any SF -> cumulative <= ~1.5e10",
+            ),
+        ],
+        "surface80.py": [
+            (
+                'F.sum(F.col("x") * F.col("x"))',
+                "burstiness: x = occurrences of ONE word in ONE doc "
+                "(doc-length bounded, typically <= 1e2) -> sum_x2 <= "
+                "doc_freq*1e4; the scale-growing d_total*sum_x2 cross "
+                "term already runs in DECIMAL(38,0) (surface80.py:199+)",
+            ),
+        ],
+        "surface82.py": [
+            (
+                'F.sum(F.col("d") * F.col("d"))',
+                "pre/post delta per user is bounded by one user's "
+                "monthly activity (~1e3) -> sum_d2 <= n_users*1e6",
+            ),
+        ],
+        "surface84.py": [
+            (
+                'F.sum(F.col("in_train") * F.col("in_test"))',
+                "both factors are 0/1 flags — the product is a boolean "
+                "AND, sum <= n_users",
+            ),
         ],
         "surface34.py": [
             (
@@ -786,6 +884,18 @@ def test_contract_int_product_overflow_audit():
                 "stats group; bound documented in the docstring with "
                 "the production alternative (pre-center or doubles)",
             ),
+            (
+                'F.sum(F.col("v") * F.col("v"))',
+                "same query's per-dim sum-of-squares: covered by the "
+                "SAME documented n <= ~3000-per-group validity bound "
+                "(docstring, surface43.py:211-216)",
+            ),
+            (
+                'F.sum(F.col("tf") * fix)',
+                "per-doc surprisal: tf <= doc tokens (~1e4), fix <= "
+                "ln(corpus)*1e6 (~4e7) -> per-doc sum <= 4e11, "
+                "doc-length-bounded at any corpus size",
+            ),
         ],
         "surface85.py": [
             (
@@ -811,6 +921,12 @@ def test_contract_int_product_overflow_audit():
     str_agg_pair = re.compile(
         r"(sum|count)\s*\([^)]*\)\s*\*\s*(\w+\s*\*\s*)*(sum|count)\s*\(",
         re.I,
+    )
+    # sums OF products — Σ(a·b) accumulates a quadratic-ish term into the
+    # aggregation buffer even when a and b are per-row values (the Σx²
+    # class: squared cents ~1e14/row kill an int64 sum at ~90k rows)
+    str_sum_prod = re.compile(
+        r"\bsum\s*\(\s*[\w.\"\']+\s*\*\s*[\w.\"\']+\s*\)", re.I
     )
 
     def flatten_mult(node):
@@ -838,6 +954,17 @@ def test_contract_int_product_overflow_audit():
         name = os.path.basename(path)
         src = open(path).read()
         tree = ast.parse(src)
+        # function spans that already carry ANY decimal cast — the
+        # Σ(a·b) rule treats those as reviewed-decimal context (the
+        # widened accumulator lives in the same function by pattern)
+        func_decimal_spans = [
+            (fnode.lineno, fnode.end_lineno)
+            for fnode in ast.walk(tree)
+            if isinstance(fnode, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and re.search(
+                r"decimal\s*\(", ast.get_source_segment(src, fnode) or "", re.I
+            )
+        ]
         docstrings = set()
         for node in ast.walk(tree):
             if isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
@@ -884,6 +1011,32 @@ def test_contract_int_product_overflow_audit():
                 ):
                     seen.add((name, "aggpair", node.lineno))
                     offenders.append(f"{name}:{node.lineno}: {seg[:90]}")
+            # -- Σ(a·b): F.sum over a product accumulates a quadratic
+            #    term into one int64 buffer (squared cents ~1e14/row
+            #    kill it at ~90k rows) --
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "sum"
+                and node.args
+                and isinstance(node.args[0], ast.BinOp)
+                and isinstance(node.args[0].op, ast.Mult)
+            ):
+                seg = " ".join((ast.get_source_segment(src, node) or "").split())
+                in_dec_fn = any(
+                    a <= node.lineno <= (b or a)
+                    for a, b in func_decimal_spans
+                )
+                if not (
+                    in_dec_fn
+                    or float_marker.search(seg)
+                    or true_div.search(seg)
+                    or decimal_marker.search(seg)
+                    or allowlisted(name, seg)
+                    or (name, "sumprod", node.lineno) in seen
+                ):
+                    seen.add((name, "sumprod", node.lineno))
+                    offenders.append(f"{name}:{node.lineno}: {seg[:90]}")
             # -- Spark-side expression strings (oracle SQL has FROM; the
             #    DuckDB side raises loudly on int64 overflow, and the
             #    sf0.1 sweep covers it — audit the Spark fragments) --
@@ -897,6 +1050,19 @@ def test_contract_int_product_overflow_audit():
                 for m in str_chain.finditer(s):
                     frag = s[max(0, m.start() - 40) : m.end() + 40]
                     key = (name, node.lineno, m.start())
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    if decimal_marker.search(s):
+                        break
+                    if float_marker.search(frag):
+                        continue
+                    if allowlisted(name, s):
+                        break
+                    offenders.append(f"{name}:{node.lineno}: ...{frag}...")
+                for m in str_sum_prod.finditer(s):
+                    frag = s[max(0, m.start() - 40) : m.end() + 40]
+                    key = (name, node.lineno, "sumprod", m.start())
                     if key in seen:
                         continue
                     seen.add(key)
