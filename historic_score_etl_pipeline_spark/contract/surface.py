@@ -649,7 +649,13 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    media = documents_as_media(
+        single_byte_docs(load_table(spark, sf_dir, "documents"))
+    )
     return (
         sample_frames(media, frame_bytes=32, every_n=2)
         .groupBy("media_id")
@@ -659,9 +665,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_FRAMES_SQL = """
 SELECT doc_id AS media_id,
-       ((octet_length(encode(text)) + 31) // 32 + 1) // 2 AS n_frames
+       ((strlen(text) + 31) // 32 + 1) // 2 AS n_frames
 FROM documents
-WHERE octet_length(encode(text)) > 0
+WHERE strlen(text) > 0 AND strlen(text) = length(text)
 """
 
 

@@ -306,12 +306,15 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            (
-                F.abs(F.col("cents") - F.col("med"))
-                > F.lit(_MAD_K) * F.col("mad")
-            )
-            .cast("long")
-            .alias("is_outlier"),
+            # coalesce: NULL cents (NULL value) must flag 0, matching
+            # SQL's CASE WHEN <NULL> THEN 1 ELSE 0 — not propagate NULL
+            F.coalesce(
+                (
+                    F.abs(F.col("cents") - F.col("med"))
+                    > F.lit(_MAD_K) * F.col("mad")
+                ).cast("long"),
+                F.lit(0),
+            ).alias("is_outlier"),
         )
     )
 

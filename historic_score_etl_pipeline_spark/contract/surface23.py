@@ -141,9 +141,14 @@ FROM s
 def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist and dense_rank per language over document size — both
     are tie-STABLE (equal n_chars share the value), so no artificial
-    tiebreak is needed and the result is deterministic by definition."""
+    tiebreak is needed and the result is deterministic by definition.
+    NULL placement IS pinned (NULLS LAST): Spark ascends NULLS FIRST by
+    default, DuckDB NULLS LAST — a NULL n_chars row would otherwise
+    shift every rank in its partition (adversarial-fixture sweep)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc_nulls_last()
+    )
     return docs.select(
         "doc_id",
         "lang",
@@ -154,9 +159,11 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_CUME_DIST_SQL = """
 SELECT doc_id, lang,
-       round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+       round(cume_dist() OVER
+             (PARTITION BY lang ORDER BY n_chars NULLS LAST), 6)
          AS cd_r6,
-       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+       CAST(dense_rank() OVER
+            (PARTITION BY lang ORDER BY n_chars NULLS LAST) AS BIGINT)
          AS drank
 FROM documents
 """

@@ -193,8 +193,14 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list over the frame → array_sort → element (n+1)÷2: the
     array lives only inside the expression (scalar output — driver-hash
     safe), and the lower median of INTEGERS needs no interpolation, so
-    both engines agree bit-for-bit.  One Exchange + one Window."""
-    ev = load_table(spark, sf_dir, "events")
+    both engines agree bit-for-bit.  One Exchange + one Window.
+    NULL observations are filtered up front on BOTH engines: Spark's
+    collect_list skips NULLs but DuckDB's list() keeps them, so an
+    unfiltered NULL value would shift the frame length and the median
+    index (adversarial-fixture sweep)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     w = (
         Window.partitionBy("user_id")
@@ -218,6 +224,7 @@ WITH base AS (
   SELECT event_id, user_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
   FROM events
+  WHERE value IS NOT NULL
 ), framed AS (
   SELECT event_id, user_id,
          list_sort(list(cents) OVER (

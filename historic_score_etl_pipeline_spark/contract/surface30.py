@@ -122,8 +122,11 @@ def window_exp_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Σ over the trailing ≤7 observations of cents >> steps-back —
     recency weighting with integer halving, bit-stable by construction.
     The frame array exists only mid-expression; one shuffle, one
-    window, one fold."""
-    ev = load_table(spark, sf_dir, "events")
+    window, one fold.  NULL observations filtered on BOTH engines
+    (collect_list skips NULLs, DuckDB list() keeps them)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     w = (
         Window.partitionBy("user_id")
@@ -158,6 +161,7 @@ WITH base AS (
   SELECT event_id, user_id, ts,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ), framed AS (
   SELECT event_id, user_id,
          list(cents) OVER (

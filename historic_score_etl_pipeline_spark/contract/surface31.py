@@ -315,14 +315,18 @@ def window_peak_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "cents",
-        (
-            prev.isNotNull()
-            & nxt.isNotNull()
-            & (F.col("cents") > prev)
-            & (F.col("cents") > nxt)
-        )
-        .cast("long")
-        .alias("is_peak"),
+        # coalesce: a NULL cents (NULL value) makes the boolean chain
+        # NULL in Spark, while SQL's CASE WHEN <NULL> THEN 1 ELSE 0
+        # routes to 0 — a NULL observation is simply not a peak
+        F.coalesce(
+            (
+                prev.isNotNull()
+                & nxt.isNotNull()
+                & (F.col("cents") > prev)
+                & (F.col("cents") > nxt)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("is_peak"),
     )
 
 

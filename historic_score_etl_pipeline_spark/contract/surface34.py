@@ -145,8 +145,13 @@ def window_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user winsorized sum: clip cents at the p10/p90 order
     statistics — the ranked element at ceil(q·n), event_id tiebreak,
     NO interpolation — then Σ clamp(x, lo, hi).  Two user-partitioned
-    windows + one aggregate; nothing global."""
-    ev = load_table(spark, sf_dir, "events")
+    windows + one aggregate; nothing global.  NULL observations are
+    filtered on BOTH engines up front — a NULL cents would rank NULLS
+    FIRST in Spark but NULLS LAST in DuckDB and shift every order
+    statistic (adversarial-fixture sweep)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     w = Window.partitionBy("user_id").orderBy(
         F.col("cents").asc(), F.col("event_id").asc()
@@ -194,6 +199,7 @@ WITH base AS (
   SELECT user_id, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ), ranked AS (
   SELECT user_id, cents,
          CAST(row_number() OVER (PARTITION BY user_id

@@ -46,6 +46,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.functions.digests import (
+    DIGEST_MOD,
+    fold_modsum,
+    fold_xor,
+    md5_hash60,
+)
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- Q13: customer order-count distribution ----------------------------------------
@@ -214,12 +220,10 @@ FROM credited GROUP BY event_type
 
 # --- migration-validation table checksum -------------------------------------------
 
-_CHK_MOD = 1000000007
-
-
 def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive per-status fingerprint of orders: bit_xor and
-    modular sum of the md5 row hash over a canonical rendering."""
+    modular sum of the md5 row hash over a canonical rendering (shared
+    digest idiom: functions/digests.py)."""
     o = load_table(spark, sf_dir, "orders")
     canon = F.concat_ws(
         "|",
@@ -232,13 +236,13 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("string"),
         F.col("o_orderpriority"),
     )
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    h = md5_hash60(canon)
     return o.select(F.col("o_orderstatus"), h.alias("h")).groupBy(
         "o_orderstatus"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.bit_xor("h").cast("long").alias("xor_sig"),
-        F.sum(F.col("h") % F.lit(_CHK_MOD)).cast("long").alias("sum_sig"),
+        fold_xor(F.col("h")).alias("xor_sig"),
+        fold_modsum(F.col("h")).alias("sum_sig"),
     )
 
 
@@ -257,7 +261,7 @@ WITH hashed AS (
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(h) AS BIGINT) AS xor_sig,
-       CAST(sum(h % {_CHK_MOD}) AS BIGINT) AS sum_sig
+       CAST(sum(h % {DIGEST_MOD}) AS BIGINT) AS sum_sig
 FROM hashed GROUP BY o_orderstatus
 """
 

@@ -300,16 +300,23 @@ FROM agg
 def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP encode→decode→integer aHash (operators/multimodal.py);
     the oracle replays pixels arithmetically from the text bytes."""
-    return image_ahash(load_table(spark, sf_dir, "documents"))
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    return image_ahash(
+        single_byte_docs(load_table(spark, sf_dir, "documents"))
+    )
 
 
 MULTIMODAL_IMAGE_AHASH_SQL = """
 WITH dims AS (
   SELECT doc_id, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 24 + 8 AS w,
-         octet_length(CAST(text AS BLOB)) % 16 + 8 AS h
+         strlen(text) AS nb,
+         strlen(text) % 24 + 8 AS w,
+         strlen(text) % 16 + 8 AS h
   FROM documents
+  WHERE strlen(text) = length(text)
 ), px AS (
   SELECT doc_id, w, h, t.j AS j,
          ((t.j // w) * 8) // h AS br,

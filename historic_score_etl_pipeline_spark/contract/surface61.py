@@ -221,7 +221,11 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     # per-partition partials → global merge (map-side combine shape)
     return partial.groupBy("source", "bin").agg(
@@ -232,10 +236,11 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_PIXEL_HISTOGRAM_SQL = """
 WITH dims AS (
   SELECT source, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         (octet_length(CAST(text AS BLOB)) % 24 + 8)
-         * (octet_length(CAST(text AS BLOB)) % 16 + 8) AS npix
+         strlen(text) AS nb,
+         (strlen(text) % 24 + 8)
+         * (strlen(text) % 16 + 8) AS npix
   FROM documents
+  WHERE strlen(text) = length(text)
 ), px AS (
   SELECT source,
          CASE WHEN nb = 0 THEN 0 ELSE

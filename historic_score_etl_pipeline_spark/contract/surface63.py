@@ -297,16 +297,21 @@ def multimodal_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFra
                 out["peak"].append(int(np.abs(s).max()) if len(s) else 0)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "text").mapInPandas(batches, schema)
 
 
 MULTIMODAL_AUDIO_ZERO_CROSSINGS_SQL = """
 WITH dims AS (
   SELECT doc_id, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 441 + 100 AS n
+         strlen(text) AS nb,
+         strlen(text) % 441 + 100 AS n
   FROM documents
+  WHERE strlen(text) = length(text)
 ), samp AS (
   SELECT doc_id, n, t.j AS j,
          CASE WHEN nb = 0 THEN 0

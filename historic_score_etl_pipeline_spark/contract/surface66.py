@@ -97,7 +97,11 @@ def multimodal_image_tile_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     return (
         partial.groupBy("source", "tile_r", "tile_c")
@@ -112,10 +116,11 @@ def multimodal_image_tile_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_IMAGE_TILE_MEANS_SQL = """
 WITH dims AS (
   SELECT source, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 24 + 8 AS w,
-         octet_length(CAST(text AS BLOB)) % 16 + 8 AS h
+         strlen(text) AS nb,
+         strlen(text) % 24 + 8 AS w,
+         strlen(text) % 16 + 8 AS h
   FROM documents
+  WHERE strlen(text) = length(text)
 ), px AS (
   SELECT source,
          ((t.j // w) * 2) // h AS tile_r,

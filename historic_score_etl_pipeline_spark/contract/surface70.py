@@ -86,7 +86,11 @@ def multimodal_image_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     return (
         partial.groupBy("source")
@@ -114,10 +118,11 @@ _GRAY = (
 MULTIMODAL_IMAGE_EDGE_ENERGY_SQL = f"""
 WITH dims AS (
   SELECT doc_id, source, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 24 + 8 AS w,
-         octet_length(CAST(text AS BLOB)) % 16 + 8 AS h
+         strlen(text) AS nb,
+         strlen(text) % 24 + 8 AS w,
+         strlen(text) % 16 + 8 AS h
   FROM documents
+  WHERE strlen(text) = length(text)
 ), e AS (
   SELECT source, doc_id,
          CASE WHEN nb = 0 OR (t.j % w) >= w - 1 THEN 0

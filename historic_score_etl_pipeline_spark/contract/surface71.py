@@ -97,7 +97,11 @@ def multimodal_audio_peak_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     return (
         partial.groupBy("source")
@@ -122,9 +126,10 @@ def multimodal_audio_peak_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_AUDIO_PEAK_COUNT_SQL = """
 WITH dims AS (
   SELECT doc_id, source, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 441 + 100 AS n
+         strlen(text) AS nb,
+         strlen(text) % 441 + 100 AS n
   FROM documents
+  WHERE strlen(text) = length(text)
 ), samp AS (
   SELECT doc_id, source, n, t.j AS j,
          CASE WHEN nb = 0 THEN 0

@@ -339,7 +339,11 @@ def multimodal_audio_downsample_2x(spark: SparkSession, sf_dir: str) -> DataFram
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     return partial.groupBy("source").agg(
         F.sum("n_clips").cast("long").alias("n_clips"),
@@ -352,9 +356,10 @@ def multimodal_audio_downsample_2x(spark: SparkSession, sf_dir: str) -> DataFram
 MULTIMODAL_AUDIO_DOWNSAMPLE_2X_SQL = """
 WITH dims AS (
   SELECT doc_id, source, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 441 + 100 AS n
+         strlen(text) AS nb,
+         strlen(text) % 441 + 100 AS n
   FROM documents
+  WHERE strlen(text) = length(text)
 ), pairs AS (
   SELECT doc_id, source,
          (CASE WHEN nb = 0 THEN 0

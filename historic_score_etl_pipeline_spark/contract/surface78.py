@@ -307,7 +307,11 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     return partial.groupBy("source").agg(
         F.sum("n_clips").cast("long").alias("n_clips"),
@@ -320,37 +324,39 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_VIDEO_SCENE_CUTS_SQL = f"""
 WITH dims AS (
   SELECT doc_id, source, text,
-         octet_length(CAST(text AS BLOB)) AS nb
+         strlen(text) AS nb
   FROM documents
+  WHERE strlen(text) = length(text)
 ), frames AS (
+  -- nb = 0 yields an EMPTY series (start > stop): an empty clip has no
+  -- frames, matching the Spark chunker exactly; the clip itself is
+  -- still counted via the dims LEFT JOIN below
   SELECT doc_id, source, t.f AS f,
-         CASE WHEN nb = 0 THEN 0 ELSE (
-           SELECT sum(ascii(substr(text, t.f * {_FRAME_BYTES} + u.i + 1, 1)))
-           FROM unnest(generate_series(
-             0, least({_FRAME_BYTES}, nb - t.f * {_FRAME_BYTES}) - 1))
-             AS u(i)
-         ) END AS g
+         (SELECT sum(ascii(substr(text, t.f * {_FRAME_BYTES} + u.i + 1, 1)))
+          FROM unnest(generate_series(
+            0, least({_FRAME_BYTES}, nb - t.f * {_FRAME_BYTES}) - 1))
+            AS u(i)
+         ) AS g
   FROM dims,
        unnest(generate_series(
-         0, CASE WHEN nb = 0 THEN 0
-                 ELSE CAST(ceil(nb / {_FRAME_BYTES}.0) AS BIGINT) - 1
-            END)) AS t(f)
+         0, CAST(ceil(nb / {_FRAME_BYTES}.0) AS BIGINT) - 1)) AS t(f)
 ), jumps AS (
   SELECT doc_id, source, f, g,
          abs(g - lag(g) OVER (PARTITION BY doc_id ORDER BY f)) AS j
   FROM frames
 ), per_doc AS (
-  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nf,
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nf,
          CAST(sum(CASE WHEN j > {_CUT_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
            AS nc,
          CAST(coalesce(max(j), 0) AS BIGINT) AS mj
-  FROM jumps GROUP BY 1, 2
+  FROM jumps GROUP BY 1
 )
-SELECT source, CAST(count(*) AS BIGINT) AS n_clips,
-       CAST(sum(nf) AS BIGINT) AS n_frames,
-       CAST(sum(nc) AS BIGINT) AS n_cuts,
-       CAST(max(mj) AS BIGINT) AS max_jump
-FROM per_doc GROUP BY source
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(coalesce(sum(p.nf), 0) AS BIGINT) AS n_frames,
+       CAST(coalesce(sum(p.nc), 0) AS BIGINT) AS n_cuts,
+       CAST(coalesce(max(p.mj), 0) AS BIGINT) AS max_jump
+FROM dims d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
 """
 
 

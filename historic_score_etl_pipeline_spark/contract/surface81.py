@@ -210,7 +210,11 @@ def multimodal_image_hist_equalization(
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from historic_score_etl_pipeline_spark.operators.multimodal import (
+        single_byte_docs,
+    )
+
+    docs = single_byte_docs(load_table(spark, sf_dir, "documents"))
     partial = docs.select("source", "text").mapInPandas(batches, schema)
     return partial.groupBy("source").agg(
         F.sum("n_images").cast("long").alias("n_images"),
@@ -228,10 +232,11 @@ _EQ_GRAY = (
 MULTIMODAL_IMAGE_HIST_EQUALIZATION_SQL = f"""
 WITH dims AS (
   SELECT doc_id, source, text,
-         octet_length(CAST(text AS BLOB)) AS nb,
-         octet_length(CAST(text AS BLOB)) % 24 + 8 AS w,
-         octet_length(CAST(text AS BLOB)) % 16 + 8 AS h
+         strlen(text) AS nb,
+         strlen(text) % 24 + 8 AS w,
+         strlen(text) % 16 + 8 AS h
   FROM documents
+  WHERE strlen(text) = length(text)
 ), px AS (
   SELECT doc_id, source, w * h AS npx,
          CASE WHEN nb = 0 THEN 0

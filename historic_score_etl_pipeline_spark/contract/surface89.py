@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.functions.digests import (
+    fold_modsum,
+    fold_xor,
+)
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- Latin-1 charset ingest -------------------------------------------------------------------
@@ -274,19 +278,15 @@ FROM j GROUP BY o_orderstatus
 
 # --- checksummed manifest write -------------------------------------------------------------------
 
-_MANIFEST_MOD = 1000000007
-
-
 def _key_digest_term():
     """Per-row 60-bit key hash for the manifest's order-insensitive
-    per-shard fold: bit_xor + (sum mod p) of these commute with any row
-    order, so no shard ever buffers its full key array in one
-    aggregation state (VERDICT r7 ask #5)."""
-    return (
-        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h")
-    )
+    per-shard fold (shared idiom: functions/digests.py) — bit_xor +
+    (sum mod p) of these commute with any row order, so no shard ever
+    buffers its full key array in one aggregation state (VERDICT r7
+    ask #5)."""
+    from historic_score_etl_pipeline_spark.functions.digests import md5_hash60
+
+    return md5_hash60(F.col("k").cast("string")).alias("h")
 
 
 def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
@@ -328,10 +328,8 @@ def _staged_manifest_write(spark: SparkSession, sf_dir: str) -> str:
             .groupBy("shard")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("rows"),
-                F.bit_xor("h").cast("long").alias("xor_sig"),
-                F.sum(F.col("h") % F.lit(_MANIFEST_MOD))
-                .cast("long")
-                .alias("sum_sig"),
+                fold_xor(F.col("h")).alias("xor_sig"),
+                fold_modsum(F.col("h")).alias("sum_sig"),
             )
             .collect()
         )
@@ -375,10 +373,8 @@ def sink_write_with_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recomputed = df.select("shard", _key_digest_term()).groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("actual_rows"),
-        F.bit_xor("h").cast("long").alias("actual_xor"),
-        F.sum(F.col("h") % F.lit(_MANIFEST_MOD))
-        .cast("long")
-        .alias("actual_sum"),
+        fold_xor(F.col("h")).alias("actual_xor"),
+        fold_modsum(F.col("h")).alias("actual_sum"),
     )
     return recomputed.join(F.broadcast(mdf), "shard").select(
         "shard",

@@ -180,6 +180,21 @@ def render_text_bmp(text: str) -> bytes:
     return encode_bmp(flat.reshape(h, w, 3))
 
 
+# DuckDB-side twin of single_byte_docs (strlen = bytes, length = chars)
+SINGLE_BYTE_TEXT_SQL = "strlen(text) = length(text)"
+
+
+def single_byte_docs(docs: DataFrame) -> DataFrame:
+    """Documents whose text is pure single-byte UTF-8 (byte length ==
+    char length; NULL text drops out of the comparison on both engines).
+    The payload-synthesis oracles replay bytes with
+    ``ascii(substr(text, k, 1))`` — an identity that holds only when
+    byte == codepoint — so multi-byte / NULL texts are outside the
+    payload-synthesis domain, enforced identically on BOTH engines
+    (adversarial-fixture sweep, round 8)."""
+    return docs.where(F.octet_length("text") == F.length("text"))
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Model a media table from the documents fixture: payload = utf-8
     bytes of the text (a stand-in for image bytes), metadata typed."""

@@ -1,0 +1,275 @@
+"""Adversarial fixture builder — a NEW verification axis for the contract.
+
+The driver's fixtures (TESTDATA.md) are clean: no NULLs, no empty strings,
+no newline-terminated documents, no zero vectors, no duplicate rows, no
+ordering ties beyond what the generator happens to emit.  Several latent
+bugs found by review (ADVICE r7: surface46's ``$`` vs ``\\z`` regex anchor)
+were exactly of the class "holds on the shipped fixture, breaks silently on
+a fixture change".  This module makes that class mechanically checkable:
+
+    build_adversarial_fixture(src, dst)
+
+copies every catalog table from ``src`` and APPENDS deterministic
+edge-case rows — empty / whitespace-only / newline-terminated / unicode /
+regex-metacharacter / NULL text, zero and NULL numerics, exact-duplicate
+rows, ordering ties, zero vectors, NULL and empty embeddings, dangling
+dimension rows — under fresh surrogate keys (≥ ``KEY_BASE``) so referential
+integrity of the original rows is untouched.  ``run_parity.py
+--adversarial`` then runs the FULL contract on the perturbed dir: since
+Spark and the DuckDB oracle read the *same* parquet, any divergence is a
+real engine-semantics fragility in the contract (not a data problem), the
+same way the sf0.1 sweep surfaces overflow bugs the sf0.01 gate can't see.
+
+Append-only on purpose: existing rows (and hence every key relationship
+the generator guarantees) are preserved; all perturbations live in new
+rows that exercise the code paths, not mutated ones that would change
+what the clean fixture asserts.
+
+Deterministic: no randomness, no clock — same input dir always produces
+byte-identical row content.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# New surrogate keys start here — far above every sf's real key range
+# (sf0.1's largest table key is < 10^6).
+KEY_BASE = 10_000_000
+
+# Text payloads, one per latent-assumption class.  Each is commented with
+# the contract behavior it stresses.
+_ADV_TEXTS: list[str | None] = [
+    "",  # empty doc: length-0 splits, 0-token quality scores
+    "\n",  # newline-only: line counting, trailing-strip anchors
+    "ends with one newline\n",  # the surface46 $-vs-\z class
+    "ends with two newlines\n\n",  # double-strip regression guard
+    "   \t   ",  # whitespace-only: tokenizers must emit no tokens
+    "line1\r\nline2\r\nline3",  # CRLF: \n-splitters keep the \r
+    "a\tb  c   d\te",  # tabs + runs of spaces: \s+ vs ' ' splits
+    "naïve café 東京 🚀 Ω é ß",  # unicode: bytes vs chars, casefold
+    "a.b*c+d?e(f)g[h]i{2}j|k\\l^m$n",  # regex metachars through regexp ops
+    "x",  # single-char doc
+    "word " * 64,  # 64× one token: TF/collocation degenerates
+    "!!! ??? ... ;;; :::",  # punctuation-only: quality-score ratios
+    "123 456.789 1e10 -42 0x1F",  # numeric tokens: cast-ish token shapes
+    "the fast key order sort table scan merge part window small h",  # exact
+    # duplicate of doc_id 0's prefix style — near-dup / exact-dup bait
+    None,  # NULL text: every text op must agree on NULL propagation
+    "a" * 4096,  # one 4 KiB token: shingle windows, length outliers
+]
+
+
+def _read(src_dir: str, name: str) -> pa.Table:
+    return pq.read_table(os.path.join(src_dir, f"{name}.parquet"))
+
+
+def _append(table: pa.Table, rows: list[dict]) -> pa.Table:
+    """Append ``rows`` (python dicts) cast to the table's exact schema."""
+    extra = pa.Table.from_pylist(rows, schema=table.schema)
+    return pa.concat_tables([table, extra])
+
+
+def _dup_head(table: pa.Table, n: int) -> pa.Table:
+    """Append exact copies of the first ``n`` rows (full-row duplicates)."""
+    return pa.concat_tables([table, table.slice(0, n)])
+
+
+def _documents(t: pa.Table) -> pa.Table:
+    langs = ["en", "fr", "es", "de", "zh"]
+    rows = []
+    for i, text in enumerate(_ADV_TEXTS):
+        rows.append(
+            {
+                "doc_id": KEY_BASE + i,
+                "text": text,
+                "lang": langs[i % len(langs)],
+                "source": f"src{i % 20}",
+                "n_chars": None if text is None else len(text),
+            }
+        )
+    # exact duplicate TEXT of an existing row under a new id (dedup bait) —
+    # copy row 0's text verbatim so exact-hash dedup must collapse them.
+    first_text = t.column("text")[0].as_py()
+    rows.append(
+        {
+            "doc_id": KEY_BASE + len(_ADV_TEXTS),
+            "text": first_text,
+            "lang": t.column("lang")[0].as_py(),
+            "source": t.column("source")[0].as_py(),
+            "n_chars": len(first_text),
+        }
+    )
+    return _append(t, rows)
+
+
+def _embeddings(t: pa.Table) -> pa.Table:
+    dim = len(t.column("embedding")[0].as_py())
+    first_vec = t.column("embedding")[0].as_py()
+    rows = [
+        # zero vector: cosine denominators hit 0 — division semantics
+        {"vec_id": KEY_BASE, "embedding": [0.0] * dim, "label": 0},
+        # exact duplicate of vec 0 under a new id: distance-0 neighbors
+        {"vec_id": KEY_BASE + 1, "embedding": first_vec, "label": 1},
+        # unit basis vector: sparse extreme
+        {
+            "vec_id": KEY_BASE + 2,
+            "embedding": [1.0] + [0.0] * (dim - 1),
+            "label": 2,
+        },
+        # all-negative constant vector
+        {"vec_id": KEY_BASE + 3, "embedding": [-1.0] * dim, "label": 3},
+        # NULL embedding: every vector op must agree on NULL propagation
+        {"vec_id": KEY_BASE + 4, "embedding": None, "label": 4},
+    ]
+    return _append(t, rows)
+
+
+def _events(t: pa.Table) -> pa.Table:
+    import datetime as dt
+
+    midnight = dt.datetime(2024, 1, 15, 0, 0, 0)
+    rows = [
+        # zero / negative / extreme magnitudes through value aggregates
+        dict(event_id=KEY_BASE, ts=midnight, user_id=7, event_type="click",
+             value=0.0, props="{}"),
+        dict(event_id=KEY_BASE + 1, ts=midnight, user_id=7,
+             event_type="view", value=-5.25, props='{"k": -1}'),
+        # extreme magnitude INSIDE the engine's documented numeric domain:
+        # the contract fixpoints values as cents/micros with DECIMAL and
+        # 4th-power sums (agg_skew_kurt: cents⁴·rows < 10³⁸), which bounds
+        # |value| ≪ 1e8; 1e6 is ~1,800× the clean fixture's max (560.21)
+        # while staying in-domain — beyond it the engines are DOCUMENTED
+        # to fail loudly (ANSI error / HUGEINT error), not diverge
+        dict(event_id=KEY_BASE + 2,
+             ts=dt.datetime(2024, 1, 31, 23, 59, 59, 999999), user_id=8,
+             event_type="purchase", value=1e6, props='{"k": 999}'),
+        dict(event_id=KEY_BASE + 3, ts=midnight, user_id=8,
+             event_type="error", value=1e-12, props='{"k": 0}'),
+        # same (user_id, ts) twice: total-order tiebreaks must pin it
+        dict(event_id=KEY_BASE + 4, ts=midnight, user_id=9,
+             event_type="signup", value=1.0, props='{"k": 1}'),
+        dict(event_id=KEY_BASE + 5, ts=midnight, user_id=9,
+             event_type="signup", value=2.0, props='{"k": 2}'),
+        # NULL value and NULL props: aggregate/JSON NULL propagation
+        dict(event_id=KEY_BASE + 6, ts=midnight, user_id=10,
+             event_type="click", value=None, props=None),
+        # malformed + nested + empty-string JSON through the parsers
+        dict(event_id=KEY_BASE + 7, ts=midnight, user_id=11,
+             event_type="view", value=3.0, props="{not json"),
+        dict(event_id=KEY_BASE + 8, ts=midnight, user_id=11,
+             event_type="view", value=4.0,
+             props='{"k": {"a": 1}, "arr": [1, 2]}'),
+        dict(event_id=KEY_BASE + 9, ts=midnight, user_id=11,
+             event_type="view", value=5.0, props=""),
+        # unseen event_type: pivots / CASE ladders must route it the same
+        dict(event_id=KEY_BASE + 10, ts=midnight, user_id=12,
+             event_type="refund", value=6.0, props='{"k": 3}'),
+    ]
+    return _append(t, rows)
+
+
+def _lineitem(t: pa.Table) -> pa.Table:
+    # reuse real orderkeys so order⋈lineitem joins still match
+    ok0 = t.column("l_orderkey")[0].as_py()
+    pk0 = t.column("l_partkey")[0].as_py()
+    sk0 = t.column("l_suppkey")[0].as_py()
+    sd0 = t.column("l_shipdate")[0].as_py()
+    base = dict(l_orderkey=ok0, l_partkey=pk0, l_suppkey=sk0,
+                l_returnflag="N", l_linestatus="O", l_shipdate=sd0)
+    rows = [
+        # zero quantity / price / discount / tax
+        dict(base, l_linenumber=901, l_quantity=0.0, l_extendedprice=0.0,
+             l_discount=0.0, l_tax=0.0),
+        # 100% discount: (1-d) terms hit exactly 0
+        dict(base, l_linenumber=902, l_quantity=1.0, l_extendedprice=100.0,
+             l_discount=1.0, l_tax=0.0),
+        # negative quantity (a return/credit row)
+        dict(base, l_linenumber=903, l_quantity=-3.0,
+             l_extendedprice=-150.0, l_discount=0.05, l_tax=0.02),
+    ]
+    out = _append(t, rows)
+    # one exact full-row duplicate: DISTINCT / dedup / count semantics
+    return _dup_head(out, 1)
+
+
+def _orders(t: pa.Table) -> pa.Table:
+    ck0 = t.column("o_custkey")[0].as_py()
+    od0 = t.column("o_orderdate")[0].as_py()
+    rows = [
+        # zero totalprice + duplicate (custkey, orderdate) pair for ties
+        dict(o_orderkey=KEY_BASE, o_custkey=ck0, o_orderstatus="F",
+             o_totalprice=0.0, o_orderdate=od0, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=KEY_BASE + 1, o_custkey=ck0, o_orderstatus="O",
+             o_totalprice=0.0, o_orderdate=od0, o_orderpriority="1-URGENT"),
+        # unseen status: CASE/pivot routing
+        dict(o_orderkey=KEY_BASE + 2, o_custkey=ck0, o_orderstatus="X",
+             o_totalprice=42.5, o_orderdate=od0,
+             o_orderpriority="5-LOW"),
+    ]
+    return _append(t, rows)
+
+
+def _customer(t: pa.Table) -> pa.Table:
+    rows = [
+        # empty + unicode names, zero / negative / NULL acctbal; every new
+        # customer is order-less by construction (anti-join bait)
+        dict(c_custkey=KEY_BASE, c_name="", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING"),
+        dict(c_custkey=KEY_BASE + 1, c_name="Müller 李 Ωmega",
+             c_nationkey=1, c_acctbal=-999.99, c_mktsegment="AUTOMOBILE"),
+        dict(c_custkey=KEY_BASE + 2, c_name=t.column("c_name")[0].as_py(),
+             c_nationkey=2, c_acctbal=None, c_mktsegment="MACHINERY"),
+    ]
+    return _append(t, rows)
+
+
+def _supplier(t: pa.Table) -> pa.Table:
+    rows = [
+        dict(s_suppkey=KEY_BASE, s_name="Zérø Supplìer", s_nationkey=3,
+             s_acctbal=0.0),
+    ]
+    return _append(t, rows)
+
+
+def _part(t: pa.Table) -> pa.Table:
+    rows = [
+        dict(p_partkey=KEY_BASE, p_name="", p_brand="Brand#0",
+             p_type="zero type", p_size=0, p_retailprice=0.0),
+        dict(p_partkey=KEY_BASE + 1, p_name="ünïcode pärt 零件",
+             p_brand=t.column("p_brand")[0].as_py(),
+             p_type=t.column("p_type")[0].as_py(), p_size=50,
+             p_retailprice=None),
+    ]
+    return _append(t, rows)
+
+
+_BUILDERS = {
+    "documents": _documents,
+    "embeddings": _embeddings,
+    "events": _events,
+    "lineitem": _lineitem,
+    "orders": _orders,
+    "customer": _customer,
+    "supplier": _supplier,
+    "part": _part,
+    # region / nation untouched: tiny closed dimensions whose names appear
+    # as literals in oracles — perturbing them tests nothing new.
+    "region": lambda t: t,
+    "nation": lambda t: t,
+}
+
+
+def build_adversarial_fixture(src_dir: str, dst_dir: str) -> str:
+    """Copy ``src_dir``'s catalog into ``dst_dir`` with adversarial rows
+    appended (see module docstring).  Returns ``dst_dir``."""
+    from historic_score_etl_pipeline_spark.sources.catalog import TABLES
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        out = _BUILDERS[name](_read(src_dir, name))
+        pq.write_table(out, os.path.join(dst_dir, f"{name}.parquet"))
+    return dst_dir

@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """Dev loop: run the contract parity check locally.
 
-Usage: python run_parity.py [--hostile] [query ...]   (default: all, at sf0.01)
+Usage: python run_parity.py [--hostile] [--adversarial] [query ...]
+(default: all, at sf0.01)
 
 --hostile runs under a deliberately adversarial session — TIMESTAMP_NTZ
 inference on, non-UTC timezone, AQE off, odd shuffle partitioning — the
 conditions an external harness session may impose.  Every contract query
 must pass BOTH modes (round-8 full sweeps: 527/527 in each; the first
 full hostile sweep since the registry grew past 153 keys).
+
+--adversarial runs against a perturbed COPY of sf0.001 with edge-case
+rows appended (NULL/empty/newline-terminated text, zero vectors, exact
+duplicates, ordering ties, malformed JSON, zero/NULL numerics — see
+testing_adversarial.py).  Both engines read the same perturbed parquet,
+so any divergence is a real contract fragility, not a data problem.
 """
 
 from __future__ import annotations
@@ -37,10 +44,28 @@ def _hostile_spark():
     )
 
 
+def _adversarial_dir() -> str:
+    """Build the perturbed fixture (rebuilt on every run — it takes ~1 s)
+    from the requested scale into .adversarial_sf next to this file.
+    SPARK_GRAFT_PARITY_SF picks the SOURCE dir, same as the plain mode;
+    the default is sf0.001 because the adversarial axis tests semantics,
+    not scale — the sf0.1 sweep owns the scale axis."""
+    from historic_score_etl_pipeline_spark.testing_adversarial import (
+        build_adversarial_fixture,
+    )
+
+    src = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".adversarial_sf")
+    return build_adversarial_fixture(src, dst)
+
+
 def main() -> int:
     args = sys.argv[1:]
     hostile = "--hostile" in args
+    adversarial = "--adversarial" in args
     names = [a for a in args if not a.startswith("--")] or None
+    sf_dir = _adversarial_dir() if adversarial else SF_DIR
     if hostile:
         spark = _hostile_spark()
     else:
@@ -48,12 +73,14 @@ def main() -> int:
 
         spark = get_spark(cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    results = run_parity(spark, SF_DIR, names)
+    results = run_parity(spark, sf_dir, names)
     n_fail = 0
     for r in results:
         print(r)
         n_fail += 0 if r.ok else 1
     mode = " (hostile session)" if hostile else ""
+    if adversarial:
+        mode += " (adversarial fixture)"
     print(f"\n{len(results) - n_fail}/{len(results)} parity checks passed{mode}")
     return 1 if n_fail else 0
 

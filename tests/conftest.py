@@ -105,10 +105,18 @@ _FULL_GENERATED = frozenset(
 
 
 def pytest_collection_modifyitems(config, items):
+    # exact match on the parametrization-stripped node id — substring
+    # matching would silently demote any NEW test whose name merely
+    # extends a listed one, against the "new tests default to quick"
+    # policy above
     for item in items:
-        nid = item.nodeid
+        nid = item.nodeid.removeprefix("tests/")
+        base = nid.split("[", 1)[0]
         full = (
-            any(p in nid for p in _FULL_NODEID_PATTERNS)
-            or nid.removeprefix("tests/") in _FULL_GENERATED
+            base in _FULL_NODEID_PATTERNS
+            or base in _FULL_GENERATED
+            # the generated list may demote a single slow parametrization
+            # (e.g. "...[0]") without touching its siblings
+            or nid in _FULL_GENERATED
         )
         item.add_marker(pytest.mark.full if full else pytest.mark.quick)

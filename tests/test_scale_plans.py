@@ -918,15 +918,20 @@ def test_contract_int_product_overflow_audit():
     # the event_did / Spearman class: each factor alone grows with data
     # scale, so the product is quadratic+ even with only two factors
     agg_call = re.compile(r"\b(F\.sum|F\.count|sum|count)\s*\(")
+    # one balanced arg with AT MOST one nesting level — [^)]* alone would
+    # let sum(abs(x)) * count(*) hide behind the inner ')'
+    _arg = r"(?:[^()]|\([^()]*\))*"
     str_agg_pair = re.compile(
-        r"(sum|count)\s*\([^)]*\)\s*\*\s*(\w+\s*\*\s*)*(sum|count)\s*\(",
+        rf"(sum|count)\s*\({_arg}\)\s*\*\s*(\w+\s*\*\s*)*(sum|count)\s*\(",
         re.I,
     )
     # sums OF products — Σ(a·b) accumulates a quadratic-ish term into the
     # aggregation buffer even when a and b are per-row values (the Σx²
-    # class: squared cents ~1e14/row kill an int64 sum at ~90k rows)
+    # class: squared cents ~1e14/row kill an int64 sum at ~90k rows);
+    # factors may be bare names OR one-level calls (abs(x), coalesce(x,0))
+    _factor = r"(?:[\w.\"\']+(?:\([^()]*\))?)"
     str_sum_prod = re.compile(
-        r"\bsum\s*\(\s*[\w.\"\']+\s*\*\s*[\w.\"\']+\s*\)", re.I
+        rf"\bsum\s*\(\s*{_factor}\s*\*\s*{_factor}\s*\)", re.I
     )
 
     def flatten_mult(node):
@@ -948,23 +953,23 @@ def test_contract_int_product_overflow_audit():
     def allowlisted(name: str, seg: str) -> bool:
         return any(sub in seg for sub, _bound in allowed.get(name, []))
 
+    def float_in_head(chain_text: str) -> bool:
+        """True iff a float marker / true division appears within the
+        FIRST TWO factors of a ``*`` chain.  `*` is left-associative, so
+        a float there makes every sub-product double; a float entering
+        later (a*b*1e6) does NOT rescue the integer sub-product a*b,
+        which Spark evaluates long*long first."""
+        head = chain_text.split("*", 2)[:2]
+        return any(
+            float_marker.search(p) or true_div.search(p) for p in head
+        )
+
     pkg_dir = os.path.dirname(contract_pkg.__file__)
     offenders: list[str] = []
     for path in sorted(glob.glob(os.path.join(pkg_dir, "*.py"))):
         name = os.path.basename(path)
         src = open(path).read()
         tree = ast.parse(src)
-        # function spans that already carry ANY decimal cast — the
-        # Σ(a·b) rule treats those as reviewed-decimal context (the
-        # widened accumulator lives in the same function by pattern)
-        func_decimal_spans = [
-            (fnode.lineno, fnode.end_lineno)
-            for fnode in ast.walk(tree)
-            if isinstance(fnode, (ast.FunctionDef, ast.AsyncFunctionDef))
-            and re.search(
-                r"decimal\s*\(", ast.get_source_segment(src, fnode) or "", re.I
-            )
-        ]
         docstrings = set()
         for node in ast.walk(tree):
             if isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
@@ -983,8 +988,21 @@ def test_contract_int_product_overflow_audit():
                 flat = " ".join(seg.split())
                 if all(is_const_factor(f) for f in factors):
                     continue  # compile-time constant
-                if float_marker.search(flat) or true_div.search(flat):
-                    continue  # floating-point chain
+                # float exemption by PREFIX, not whole-chain: `*` is
+                # left-assoc, so a trailing float factor (a*b*1e6) does
+                # not rescue the integer sub-product a*b — only a float
+                # within the first two factors makes every sub-product
+                # double.  An integer prefix of exactly 2 is the plain
+                # 2-factor class (not flagged here; the agg·agg rule
+                # below sees the sub-BinOp via ast.walk).
+                int_prefix = 0
+                for f in factors:
+                    fs = ast.get_source_segment(src, f) or ""
+                    if float_marker.search(fs) or true_div.search(fs):
+                        break
+                    int_prefix += 1
+                if int_prefix < 3:
+                    continue
                 if decimal_marker.search(flat):
                     continue  # already decimal-typed
                 if allowlisted(name, flat):
@@ -1023,13 +1041,12 @@ def test_contract_int_product_overflow_audit():
                 and isinstance(node.args[0].op, ast.Mult)
             ):
                 seg = " ".join((ast.get_source_segment(src, node) or "").split())
-                in_dec_fn = any(
-                    a <= node.lineno <= (b or a)
-                    for a, b in func_decimal_spans
-                )
+                # NOTE: no whole-function decimal exemption — the sum's
+                # own segment must carry the cast (F.sum((a*b).cast(DEC))
+                # qualifies; .cast(DEC) applied AFTER the sum is too late
+                # and stays flagged)
                 if not (
-                    in_dec_fn
-                    or float_marker.search(seg)
+                    float_marker.search(seg)
                     or true_div.search(seg)
                     or decimal_marker.search(seg)
                     or allowlisted(name, seg)
@@ -1047,45 +1064,44 @@ def test_contract_int_product_overflow_audit():
                 and "FROM" not in node.value
             ):
                 s = " ".join(node.value.split())
-                for m in str_chain.finditer(s):
-                    frag = s[max(0, m.start() - 40) : m.end() + 40]
-                    key = (name, node.lineno, m.start())
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    if decimal_marker.search(s):
-                        break
-                    if float_marker.search(frag):
-                        continue
-                    if allowlisted(name, s):
-                        break
-                    offenders.append(f"{name}:{node.lineno}: ...{frag}...")
-                for m in str_sum_prod.finditer(s):
-                    frag = s[max(0, m.start() - 40) : m.end() + 40]
-                    key = (name, node.lineno, "sumprod", m.start())
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    if decimal_marker.search(s):
-                        break
-                    if float_marker.search(frag):
-                        continue
-                    if allowlisted(name, s):
-                        break
-                    offenders.append(f"{name}:{node.lineno}: ...{frag}...")
-                for m in str_agg_pair.finditer(s):
-                    frag = s[max(0, m.start() - 40) : m.end() + 40]
-                    key = (name, node.lineno, "aggpair", m.start())
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    if decimal_marker.search(s):
-                        break
-                    if float_marker.search(frag):
-                        continue
-                    if allowlisted(name, s):
-                        break
-                    offenders.append(f"{name}:{node.lineno}: ...{frag}...")
+                # one shared scan per rule: the float exemption reads the
+                # MATCH text itself (for chains, only its first two
+                # factors — the left-assoc argument above), never the
+                # surrounding ±40-char context, so a nearby unrelated
+                # float literal cannot hide an integer product
+                str_rules = (
+                    ("chain", str_chain, float_in_head),
+                    (
+                        "sumprod",
+                        str_sum_prod,
+                        lambda t: bool(
+                            float_marker.search(t) or true_div.search(t)
+                        ),
+                    ),
+                    (
+                        "aggpair",
+                        str_agg_pair,
+                        lambda t: bool(
+                            float_marker.search(t) or true_div.search(t)
+                        ),
+                    ),
+                )
+                for tag, rx, float_exempts in str_rules:
+                    for m in rx.finditer(s):
+                        frag = s[max(0, m.start() - 40) : m.end() + 40]
+                        key = (name, node.lineno, tag, m.start())
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        if decimal_marker.search(s):
+                            break
+                        if float_exempts(m.group(0)):
+                            continue
+                        if allowlisted(name, s):
+                            break
+                        offenders.append(
+                            f"{name}:{node.lineno}: ...{frag}..."
+                        )
     assert not offenders, (
         "unallowlisted >=3-factor integer product in contract code — "
         "run it in DECIMAL(38,0)/HUGEINT on BOTH engines or allowlist "

@@ -127,6 +127,8 @@ def test_manifest_verification_law(spark, sf_oracle):
     for h in hs:
         xor ^= h
     assert manifest["0"]["xor_sig"] == xor
-    assert manifest["0"]["sum_sig"] == sum(
-        h % surface89._MANIFEST_MOD for h in hs
+    from historic_score_etl_pipeline_spark.functions.digests import (
+        DIGEST_MOD,
     )
+
+    assert manifest["0"]["sum_sig"] == sum(h % DIGEST_MOD for h in hs)
