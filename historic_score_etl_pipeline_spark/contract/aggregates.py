@@ -56,7 +56,12 @@ def json_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_PARSE_EXTRACT_SQL = """
-SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+-- json_valid guard: DuckDB's json_extract THROWS on malformed JSON where
+-- Spark's get_json_object returns NULL — route invalid/NULL props to NULL
+SELECT event_id,
+       TRY_CAST(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER)
+         AS k_val
 FROM events
 """
 

@@ -109,7 +109,9 @@ def udtf_explode_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             ids, idxs, chunks = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split()
+                # NULL text arrives as None — no words, no chunks (the
+                # oracle's len(ws) > 0 filter drops it the same way)
+                words = text.split() if isinstance(text, str) else []
                 for i in range(0, len(words), 20):
                     ids.append(doc_id)
                     idxs.append(i // 20)
@@ -176,8 +178,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative + duplicate count."""
     docs = load_table(spark, sf_dir, "documents")
     prefix = F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 5))
+    # NULL-text guard: concat_ws renders a NULL token array as '', which
+    # would silently merge NULL docs into the empty-text group; the
+    # oracle's md5(NULL) stays NULL, so pin NULL text → NULL fingerprint
+    fp = F.when(F.col("text").isNotNull(), F.md5(prefix))
     return dedup_exact_op(
-        docs, F.md5(prefix), "doc_id", ["lang", "source"]
+        docs, fp, "doc_id", ["lang", "source"]
     ).select("fingerprint", "doc_id", "n_dups", "lang", "source")
 
 
@@ -269,7 +275,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-distance/recall tests in tests/test_dedup.py."""
     from historic_score_etl_pipeline_spark.operators.scale import ensure_parallelism
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = ensure_parallelism(
+        # NULL text has no signature (see dedup_simhash_hamming note)
+        load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        ),
+        "doc_id",
+    )
     return (
         docs.select("doc_id", simhash_portable("text").alias("simhash"))
         .groupBy("simhash")
@@ -289,7 +301,7 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(
            lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS t
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -339,7 +351,9 @@ WITH sh AS (
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
          )) AS shingles
   FROM (SELECT doc_id, lang,
-               string_split_regex(lower(trim(text)), '\\s+') AS toks
+               string_split_regex(
+                 lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                 '\\s+') AS toks
         FROM documents)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -267,7 +267,12 @@ def str_first_token(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STR_FIRST_TOKEN_SQL = """
-SELECT doc_id, split_part(text, ' ', 1) AS lead_word FROM documents
+-- NULL guard: DuckDB's split_part(NULL, ...) returns '' (documented
+-- quirk), Spark's substring_index propagates NULL — pin NULL→NULL
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE split_part(text, ' ', 1) END AS lead_word
+FROM documents
 """
 
 

@@ -416,7 +416,9 @@ def json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(props, 1, length(props)-1)"),
     ).otherwise(F.col("props"))
     parsed = F.get_json_object(mangled, "$")
-    k_val = F.get_json_object(mangled, "$.k").cast("int")
+    # try_cast: $.k can be a nested OBJECT (not a scalar) in dirty data —
+    # an ANSI cast would fail the job, the opposite of "tolerant"
+    k_val = F.get_json_object(mangled, "$.k").try_cast("int")
     return (
         ev.select(
             "event_type",
@@ -442,7 +444,10 @@ WITH m AS (
 )
 SELECT event_type,
        count(*) FILTER (json_valid(props)) AS n_valid,
-       count(*) FILTER (NOT json_valid(props)) AS n_corrupt,
+       -- NULL props is corrupt (dead-letter), not uncounted: json_valid
+       -- of NULL is NULL, which a bare FILTER would drop from BOTH sides
+       count(*) FILTER (props IS NULL OR NOT json_valid(props))
+         AS n_corrupt,
        CAST(sum(CASE WHEN json_valid(props)
                      THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                 END) AS BIGINT) AS k_sum

@@ -87,10 +87,13 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse happens once at ingest and lands as a VARIANT parquet column;
     every later query shreds just the paths it touches."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.withColumn("v", F.parse_json(F.col("props")))
+    # try_ variants end-to-end: parse_json THROWS on malformed JSON and
+    # variant_get THROWS on an uncastable path (e.g. $.k holding a nested
+    # object) — dirty props must shred to NULL, not fail the job
+    v = ev.withColumn("v", F.try_parse_json(F.col("props")))
     return (
         v.withColumn(
-            "k", F.expr("variant_get(v, '$.k', 'int')")
+            "k", F.expr("try_variant_get(v, '$.k', 'int')")
         )
         .where(F.col("k") > 50)
         .groupBy("event_type")
@@ -102,11 +105,15 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_VARIANT_SQL = """
-SELECT event_type, count(*) AS n_hot,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events
-WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
-GROUP BY event_type
+WITH base AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(
+             CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
+           AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_hot, CAST(sum(k) AS BIGINT) AS sum_k
+FROM base WHERE k > 50 GROUP BY event_type
 """
 
 

@@ -39,8 +39,14 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "embedding").select(
         "vec_id",
         "q_scale_r6",
-        F.concat_ws(
-            ",", F.transform(F.col("q_codes"), lambda x: x.cast("string"))
+        # guard: concat_ws renders a NULL array as '' — a NULL embedding
+        # must stay NULL, like the oracle's array_to_string(NULL)
+        F.when(
+            F.col("q_codes").isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(F.col("q_codes"), lambda x: x.cast("string")),
+            ),
         ).alias("q_codes_csv"),
     )
 

@@ -106,8 +106,12 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     division and multiplication are correctly-rounded IEEE ops,
     bit-identical everywhere, so the fixpointed key has NO cross-engine
     float surface.  Ties → doc_id.  One shuffle on lang; the rank
-    compiles to WindowGroupLimit top-k, so per-group state is k rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    compiles to WindowGroupLimit top-k, so per-group state is k rows.
+    Zero/NULL-weight docs are excluded on BOTH engines — a weight of 0
+    has no meaningful priority (Spark's ANSI division would raise)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") > 0
+    )
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(_ES_SEED), F.col("doc_id").cast("string"))),
         1, 8,
@@ -140,6 +144,7 @@ WITH keyed AS (
                / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT)
            AS priority
   FROM documents
+  WHERE n_chars > 0
 ),
 ranked AS (
   SELECT doc_id, lang, weight, priority,

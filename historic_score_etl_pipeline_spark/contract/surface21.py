@@ -279,10 +279,20 @@ def _staged_text_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     out = app_scoped_dir(spark, "text", sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.concat_ws(
-            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
-        ).alias("value")
+    # line-per-row staging is only well-defined for texts without line
+    # terminators (an embedded \n/\r would split one doc into two
+    # lines); NULL text drops with the same predicate on both engines
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(~F.col("text").contains("\n") & ~F.col("text").contains("\r"))
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("text"),
+            ).alias("value")
+        )
     )
     docs.write.mode("overwrite").text(out)
     return out
@@ -295,7 +305,9 @@ def scan_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns with an explicit limit-3 split (text may contain no tabs,
     never inferred), then aggregated per lang; the oracle aggregates the
     original parquet, so the hash match proves the line round-trip is
-    lossless — including every whitespace byte of ``text``."""
+    lossless — including every non-line-terminator whitespace byte of
+    ``text`` (docs with embedded newlines are outside the line-oriented
+    format's domain, filtered identically on both engines)."""
     path = _staged_text_dir(spark, sf_dir)
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), "\t", 3)
@@ -316,7 +328,9 @@ SCAN_TEXTFILE_SQL = """
 SELECT lang, count(*) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
-FROM documents GROUP BY lang
+FROM documents
+WHERE NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+GROUP BY lang
 """
 
 

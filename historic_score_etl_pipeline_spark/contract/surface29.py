@@ -337,7 +337,9 @@ WITH sh AS (
            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
          )) AS g
   FROM (SELECT doc_id, lang,
-               string_split_regex(lower(trim(text)), '\\s+') AS toks
+               string_split_regex(
+                 lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                 '\\s+') AS toks
         FROM documents)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -77,8 +77,12 @@ def str_initcap_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-delimited word rule and the oracle's explicit per-token
     ucfirst agree by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    head6 = F.concat_ws(
-        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 6)
+    # the NULL guard pins NULL text → NULL title: concat_ws would render
+    # the NULL token array as '' while the oracle's array_to_string(NULL)
+    # stays NULL
+    head6 = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 6)),
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -104,6 +104,14 @@ def scan_tsv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .option("sep", "\t")
         .option("header", "true")
+        # RFC-4180 quote doubling, not backslash escaping: the default
+        # escape='\\' silently EATS literal backslashes on read-back
+        .option("escape", '"')
+        # the WRITER trims field whitespace by default (both ignore*
+        # options default true on write, false on read) — a value ending
+        # in spaces/newlines would come back shortened
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .option("compression", "gzip")
         .csv(out)
     )
@@ -111,6 +119,11 @@ def scan_tsv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("doc_id long, lang string, n_chars long, text string")
         .option("sep", "\t")
         .option("header", "true")
+        # the writer QUOTES embedded line terminators; without multiLine
+        # the reader would split such a record into phantom rows (gzip is
+        # whole-file anyway, so multiLine costs nothing here)
+        .option("multiLine", "true")
+        .option("escape", '"')
         .csv(out)
     )
     return back.groupBy("lang").agg(

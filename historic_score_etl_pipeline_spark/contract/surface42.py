@@ -242,7 +242,12 @@ def text_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
-        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_tokens"),
+        # coalesce: NULL text must count 0 tokens on BOTH engines — a
+        # NULL n_tokens would rank NULLS FIRST in Spark, NULLS LAST in
+        # DuckDB, shifting every quartile index in its lang
+        F.coalesce(
+            F.size(F.filter(toks, lambda x: x != "")), F.lit(0)
+        ).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
     wn = Window.partitionBy("lang")
@@ -279,9 +284,9 @@ def text_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_LENGTH_OUTLIERS_IQR_SQL = """
 WITH base AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(
+         CAST(coalesce(len(list_filter(
            string_split_regex(lower(trim(text)), '\\s+'),
-           x -> x <> '')) AS BIGINT) AS n_tokens
+           x -> x <> '')), 0) AS BIGINT) AS n_tokens
   FROM documents
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY lang

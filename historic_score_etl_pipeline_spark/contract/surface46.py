@@ -52,10 +52,16 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio ln args, k11 ≥ 5."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim("text")), r"\s+")
+    # guard: sequence(1, 0) DESCENDS in Spark, so a one-token (or empty)
+    # doc would index element_at(toks, 2) out of bounds — docs with < 2
+    # tokens have no bigrams, full stop
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    )
     pairs = docs.select(
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                idx,
                 lambda i: F.struct(
                     F.element_at(toks, i).alias("a"),
                     F.element_at(toks, i + 1).alias("b"),
@@ -255,8 +261,13 @@ FROM m
 
 def dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate vectors by md5 of the fixpointed CSV encoding:
-    fingerprint → group size + min-id representative."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    fingerprint → group size + min-id representative.  NULL embeddings
+    are excluded on BOTH engines — Spark's concat_ws would render the
+    NULL array as '' (the md5 of empty string, colliding with a real
+    empty encoding) while DuckDB keeps NULL."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     csv = F.concat_ws(
         ",",
         F.transform(
@@ -282,7 +293,7 @@ SELECT md5(array_to_string(list_transform(embedding,
          AS vfp,
        CAST(count(*) AS BIGINT) AS group_size,
        CAST(min(vec_id) AS BIGINT) AS rep_vec
-FROM embeddings GROUP BY vfp
+FROM embeddings WHERE embedding IS NOT NULL GROUP BY vfp
 """
 
 
@@ -354,8 +365,12 @@ def _staged_wholefiles(spark: SparkSession, sf_dir: str) -> str:
     # repartition("lang") puts each lang wholly in one task and
     # sortWithinPartitions keeps doc_id order inside it, so partitionBy
     # emits exactly ONE doc_id-ordered text file per lang=... dir.
+    # join-by-newline accounting (n_chars = Σlen + n − 1) is only
+    # well-defined for texts without their own line terminators; filter
+    # embedded \n/\r (and NULL) identically on both engines
     (
         load_table(spark, sf_dir, "documents")
+        .where(~F.col("text").contains("\n") & ~F.col("text").contains("\r"))
         .select("lang", "doc_id", F.col("text").alias("value"))
         .repartition("lang")
         .sortWithinPartitions("lang", "doc_id")
@@ -402,7 +417,9 @@ SCAN_TEXT_WHOLEFILE_SQL = """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_lines,
        CAST(sum(length(text)) + count(*) - 1 AS BIGINT) AS n_chars_total
-FROM documents GROUP BY lang
+FROM documents
+WHERE NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+GROUP BY lang
 """
 
 

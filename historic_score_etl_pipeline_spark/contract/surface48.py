@@ -44,7 +44,12 @@ _SH_MAX_DIST = 3
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-band Hamming-LSH over the 16-bit portable SimHash: candidate
     pairs from band buckets, verified popcount(xor) ≤ 3."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text has no signature: Spark's greatest(NULL, 0) window in
+    # shingles() would silently hash a NULL doc like an EMPTY doc, while
+    # the oracle folds it to 0 — exclude on both engines
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     sig = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         simhash_portable("text").alias("sh"),
@@ -93,7 +98,7 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(
            lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS t
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(

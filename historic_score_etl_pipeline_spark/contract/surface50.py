@@ -117,7 +117,9 @@ WITH toks AS (
   FROM documents
 ), sent AS (
   SELECT doc_id,
-         CASE WHEN len(t) = 0
+         -- coalesce: a NULL token array (NULL text) must also keep its
+         -- row, exactly like Spark's posexplode_outer on a NULL array
+         CASE WHEN coalesce(len(t), 0) = 0
               THEN [{{'i': CAST(NULL AS BIGINT), 'x': CAST(NULL AS VARCHAR)}}]
               ELSE list_transform(t, (x, i) ->
                      {{'i': CAST(i - 1 AS BIGINT), 'x': x}}) END AS e

@@ -335,20 +335,17 @@ def sql_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PIVOT_DYNAMIC_SQL = """
-SELECT CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
-            AS BIGINT) AS dow_monday0,
-       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
-         AS click,
-       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-         AS error,
-       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-         AS purchase,
-       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
-         AS signup,
-       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
-         AS view
-FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-GROUP BY 1
+-- a TRUE dynamic pivot (DuckDB PIVOT discovers the value set the same
+-- way Spark's .pivot() distinct-scan does, and fills count() gaps with
+-- 0) — a hardcoded column list would silently diverge the moment the
+-- data grows a new event_type (adversarial-fixture sweep)
+PIVOT (
+  SELECT CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
+              AS BIGINT) AS dow_monday0,
+         event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+) ON event_type USING count(*)
+GROUP BY dow_monday0
 """
 
 

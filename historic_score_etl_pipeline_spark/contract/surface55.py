@@ -152,7 +152,10 @@ def str_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first letter + squeezed consonant skeleton per part name word;
     collision-group sizes are the blocking-quality readout."""
     p = load_table(spark, sf_dir, "part")
-    word = F.lower(F.split(F.col("p_name"), r"\s+")[1])  # the noun
+    # F.get, not [1]: a one-word/empty p_name has no second token — get()
+    # yields NULL like DuckDB's lenient list[2], where [1] under ANSI
+    # raises INVALID_ARRAY_INDEX
+    word = F.lower(F.get(F.split(F.col("p_name"), r"\s+"), 1))  # the noun
     # adjacent-duplicate squeeze as an index lambda, NOT a regex
     # backreference — RE2 (the oracle's engine) has no backrefs
     staged = p.select(
@@ -205,7 +208,10 @@ WITH w AS (
 SELECT pkey,
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(count(DISTINCT word) AS BIGINT) AS n_words,
-       array_to_string(list_sort(list(DISTINCT word)), ',') AS words
+       -- coalesce: an all-NULL word group aggregates to a NULL list in
+       -- DuckDB, where Spark's collect_set gives [] and concat_ws ''
+       coalesce(array_to_string(list_sort(list(DISTINCT word)), ','), '')
+         AS words
 FROM keyed GROUP BY pkey
 """
 

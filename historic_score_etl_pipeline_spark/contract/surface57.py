@@ -249,7 +249,12 @@ def _pq_cent(b, c, i):
 def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ code (argmin centroid per subspace, first-min tiebreak) and
     exact integer reconstruction error per vector."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings excluded on BOTH engines: a NULL vector has no
+    # PQ code (Spark would render its all-NULL code array as '' via
+    # concat_ws; DuckDB keeps NULL) — adversarial-fixture sweep
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     cb = spark.range(1).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(_PQ_SUB - 1)),
@@ -331,6 +336,7 @@ WITH cb AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), d AS (
   SELECT qv.vec_id, cb.b, cb.c,
          list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}), i ->

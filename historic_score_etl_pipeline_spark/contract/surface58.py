@@ -70,7 +70,12 @@ def _fx():
 
 def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by ADC (LUT-summed PQ distance) vs exact integer L2."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings excluded on BOTH engines: a NULL vector has no
+    # PQ code (Spark would render its all-NULL code array as '' via
+    # concat_ws; DuckDB keeps NULL) — adversarial-fixture sweep
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     cb = _codebook(spark)
     qs = emb.where(F.col("vec_id") < _ADC_NQ).select(
         F.col("vec_id").alias("q_id"), _fx().alias("qv")
@@ -226,6 +231,7 @@ WITH cb AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), subd AS (
   SELECT f.vec_id, cb.b, cb.c,
          list_sum(list_transform(generate_series(1, {_ADC_SUBDIM}), i ->

@@ -175,8 +175,12 @@ _RC_NQ = 5
 
 def embed_metric_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman ρ between inner-product and negative-L2 rankings per
-    query — both sort keys integer-exact, ρ in exact ppm."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    query — both sort keys integer-exact, ρ in exact ppm.  NULL
+    embeddings are excluded on BOTH engines: a NULL distance would rank
+    NULLS FIRST under Spark ASC but NULLS LAST under DuckDB ASC."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     fx = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -239,6 +243,7 @@ WITH fx AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          list_sum(list_transform(q.v, (x, i) -> x * c.v[i])) AS dp,

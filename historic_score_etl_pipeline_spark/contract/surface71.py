@@ -205,8 +205,11 @@ def udtf_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDTF_OVERLAP_CHUNKS_SQL = f"""
 WITH w AS (
+  -- coalesce to []: the Python chunker treats NULL text as zero words
+  -- (one empty window), so the replay must not propagate a NULL list
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+         coalesce(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> ''), []) AS ws
   FROM documents
 ), g AS (
   SELECT doc_id, ws,
@@ -220,8 +223,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(ws[win_idx * {_CHUNK_STRIDE} + 1 :
                    win_idx * {_CHUNK_STRIDE} + {_CHUNK_W}]) AS BIGINT)
          AS n_words,
-       array_to_string(ws[win_idx * {_CHUNK_STRIDE} + 1 :
-                          win_idx * {_CHUNK_STRIDE} + {_CHUNK_W}], ' ')
+       -- coalesce: DuckDB's array_to_string([]) is NULL, Python's
+       -- ' '.join([]) is ''
+       coalesce(array_to_string(ws[win_idx * {_CHUNK_STRIDE} + 1 :
+                                   win_idx * {_CHUNK_STRIDE} + {_CHUNK_W}],
+                                ' '), '')
          AS chunk
 FROM g
 """

@@ -142,7 +142,11 @@ def json_props_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_NUMERIC_STATS_SQL = """
 WITH base AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         -- json_valid guard: DuckDB json_extract THROWS on malformed
+         -- JSON; Spark's get_json_object returns NULL
+         TRY_CAST(json_extract_string(
+             CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
+           AS k
   FROM events
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -198,7 +198,12 @@ def sample_time_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_test_events",
         "n_test_users",
         "n_leaked_users",
-        F.expr("(n_leaked_users * 1000000) div n_test_users")
+        # zero-test-user guard: Spark's ANSI div raises on /0 where
+        # DuckDB's // quietly yields NULL — make both NULL
+        F.expr(
+            "CASE WHEN n_test_users > 0"
+            " THEN (n_leaked_users * 1000000) div n_test_users END"
+        )
         .cast("long")
         .alias("leak_ppm"),
     )
@@ -226,8 +231,9 @@ WITH sides AS (
 )
 SELECT c.event_type, c.n_train_events, c.n_test_events,
        l.n_test_users, l.n_leaked_users,
-       CAST((l.n_leaked_users * 1000000) // l.n_test_users AS BIGINT)
-         AS leak_ppm
+       CAST(CASE WHEN l.n_test_users > 0
+                 THEN (l.n_leaked_users * 1000000) // l.n_test_users END
+            AS BIGINT) AS leak_ppm
 FROM counts c JOIN leak l ON c.event_type = l.event_type
 """
 

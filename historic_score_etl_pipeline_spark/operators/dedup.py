@@ -51,7 +51,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     Jaccard similarity.  Pure Column expression: split → sliding windows
     via transform over index sequence → distinct."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    # regex strip, not F.trim — same rationale as token_hashes: trim()
+    # removes only ASCII spaces, so a tab/newline-padded doc would grow
+    # spurious empty tokens and diverge from str.strip()/str.split()
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    toks = F.split(F.lower(stripped), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
