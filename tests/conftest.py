@@ -39,6 +39,10 @@ def sf_oracle() -> str:
 _FULL_NODEID_PATTERNS = (
     # 527-key DuckDB-oracle parity sweep — the dominant ~12 min
     "test_contract_parity.py::test_query_matches_oracle",
+    # adversarial-fixture regression over the round-8 first-contact
+    # divergence set (~4 min; the FULL perturbed sweep is the per-round
+    # `run_parity.py --adversarial` recipe)
+    "test_adversarial_parity.py::test_adversarial_fixture_parity",
     # registry-wide explain walk (~4 min)
     "test_scale_plans.py::test_plan_redflag_budget",
     # registry-wide schema walk (~3 min)
