@@ -87,6 +87,11 @@ SF10_HEAVIES = [
     "graph_hits_two_rounds",
     "graph_kcore_two_pass",
     "text_bigram_surprisal",
+    # round-8 session-3 additions: the remaining heavies whose tables the
+    # replica already tiles (documents token-suffixed, lineitem strided)
+    "text_bm25_score",
+    "dedup_minhash_jaccard_est",
+    "udaf_longest_increasing_run",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
