@@ -103,6 +103,17 @@ def _documents(t: pa.Table) -> pa.Table:
             "n_chars": len(first_text),
         }
     )
+    # wave 2: an UNSEEN language code — every lang-keyed group-by /
+    # pivot / per-lang quota op must route the new group identically
+    rows.append(
+        {
+            "doc_id": KEY_BASE + len(_ADV_TEXTS) + 1,
+            "text": "unseen language bucket probe text",
+            "lang": "xx",
+            "source": "src0",
+            "n_chars": 34,
+        }
+    )
     return _append(t, rows)
 
 
@@ -169,6 +180,18 @@ def _events(t: pa.Table) -> pa.Table:
         dict(event_id=KEY_BASE + 10, ts=midnight, user_id=12,
              event_type="refund", value=6.0, props='{"k": 3}'),
     ]
+    # wave 2: trailing-space type (trim assumptions), and events at the
+    # EXACT min/max clean timestamps (window/boundary inclusivity)
+    ts_min = min(t.column("ts").to_pylist())
+    ts_max = max(t.column("ts").to_pylist())
+    rows += [
+        dict(event_id=KEY_BASE + 11, ts=midnight, user_id=12,
+             event_type="view ", value=7.0, props='{"k": 4}'),
+        dict(event_id=KEY_BASE + 12, ts=ts_min, user_id=13,
+             event_type="click", value=8.0, props='{"k": 5}'),
+        dict(event_id=KEY_BASE + 13, ts=ts_max, user_id=13,
+             event_type="click", value=9.0, props='{"k": 6}'),
+    ]
     return _append(t, rows)
 
 
@@ -190,6 +213,12 @@ def _lineitem(t: pa.Table) -> pa.Table:
         # negative quantity (a return/credit row)
         dict(base, l_linenumber=903, l_quantity=-3.0,
              l_extendedprice=-150.0, l_discount=0.05, l_tax=0.02),
+        # wave 2: unseen returnflag/linestatus pair — flag-keyed rollups
+        # (TPC-H q1 family) must emit the new group identically
+        dict(base, l_linenumber=904, l_quantity=2.0,
+             l_extendedprice=50.0, l_discount=0.01, l_tax=0.01) | {
+            "l_returnflag": "Z", "l_linestatus": "Z"
+        },
     ]
     out = _append(t, rows)
     # one exact full-row duplicate: DISTINCT / dedup / count semantics
@@ -209,6 +238,12 @@ def _orders(t: pa.Table) -> pa.Table:
         dict(o_orderkey=KEY_BASE + 2, o_custkey=ck0, o_orderstatus="X",
              o_totalprice=42.5, o_orderdate=od0,
              o_orderpriority="5-LOW"),
+        # wave 2: unseen priority label — priority-keyed CASE ladders /
+        # inline dims must route it identically (usually to a NULL/other
+        # bucket on both engines)
+        dict(o_orderkey=KEY_BASE + 3, o_custkey=ck0, o_orderstatus="F",
+             o_totalprice=13.37, o_orderdate=od0,
+             o_orderpriority="9-UNKNOWN"),
     ]
     return _append(t, rows)
 
