@@ -58,9 +58,13 @@ def json_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PARSE_EXTRACT_SQL = """
 -- json_valid guard: DuckDB's json_extract THROWS on malformed JSON where
 -- Spark's get_json_object returns NULL — route invalid/NULL props to NULL
+-- integer-string guard: Spark's try_cast(VARCHAR as INT) rejects
+-- '60.5' (NULL) where DuckDB's TRY_CAST ROUNDS it to 61
 SELECT event_id,
-       TRY_CAST(json_extract_string(
-           CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER)
+       TRY_CAST(CASE WHEN regexp_matches(json_extract_string(
+                  CASE WHEN json_valid(props) THEN props END, '$.k'),
+                  '^-?[0-9]+$')
+                THEN json_extract_string(props, '$.k') END AS INTEGER)
          AS k_val
 FROM events
 """

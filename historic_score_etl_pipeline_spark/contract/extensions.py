@@ -20,6 +20,7 @@ from historic_score_etl_pipeline_spark.contract.scans import (
 from historic_score_etl_pipeline_spark.functions.strings import (
     classify_activity_py,
     extract_svg_class_token,
+    null_safe_csv,
 )
 from historic_score_etl_pipeline_spark.operators.dedup import (
     dedup_exact as dedup_exact_op,
@@ -177,11 +178,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix (prefix collisions make real duplicate groups), keep min-id
     representative + duplicate count."""
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 5))
-    # NULL-text guard: concat_ws renders a NULL token array as '', which
-    # would silently merge NULL docs into the empty-text group; the
-    # oracle's md5(NULL) stays NULL, so pin NULL text → NULL fingerprint
-    fp = F.when(F.col("text").isNotNull(), F.md5(prefix))
+    # null_safe_csv (determinism rule 7): bare concat_ws would render a
+    # NULL token array as '' and silently merge NULL docs into the
+    # empty-text fingerprint group; md5(NULL) stays NULL like the oracle
+    prefix = null_safe_csv(
+        F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 5), " "
+    )
+    fp = F.md5(prefix)
     return dedup_exact_op(
         docs, fp, "doc_id", ["lang", "source"]
     ).select("fingerprint", "doc_id", "n_dups", "lang", "source")
@@ -336,8 +339,12 @@ GROUP BY simhash
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked 3-gram Jaccard: same-lang doc pairs (left side thinned
     10×), kept when Jaccard ≥ 0.01 — fully SQL-expressible, so this is the
-    oracle-checked member of the near-dup family."""
-    docs = load_table(spark, sf_dir, "documents")
+    oracle-checked member of the near-dup family.  NULL text is
+    excluded on BOTH engines (a NULL doc has no shingles; Spark's
+    concat_ws chain would alias it to the [''] shingle set)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     return near_dup_jaccard(
         docs, "doc_id", "text", ["lang"], threshold=0.01, sample_mod=10
     )
@@ -346,15 +353,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_JACCARD_SQL = """
 WITH sh AS (
   SELECT doc_id, lang,
+         -- array_to_string over an INCLUSIVE slice truncates the
+         -- trailing window exactly like Spark's slice(toks, i+1, 3);
+         -- the || chain would NULL (and drop) any <3-token shingle
          list_distinct(list_transform(
            generate_series(1, greatest(len(toks) - 2, 1)),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           i -> array_to_string(toks[i:i+2], ' ')
          )) AS shingles
   FROM (SELECT doc_id, lang,
                string_split_regex(
                  lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
                  '\\s+') AS toks
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

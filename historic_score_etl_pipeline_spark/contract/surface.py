@@ -448,8 +448,15 @@ SELECT event_type,
        -- of NULL is NULL, which a bare FILTER would drop from BOTH sides
        count(*) FILTER (props IS NULL OR NOT json_valid(props))
          AS n_corrupt,
-       CAST(sum(CASE WHEN json_valid(props)
-                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+       -- nested CASE (not AND): conjunct order is not guaranteed, and
+       -- json_extract_string THROWS on invalid JSON in DuckDB; the
+       -- integer-string guard matches Spark's try_cast rejecting '60.5'
+       CAST(sum(CASE WHEN json_valid(props) THEN
+                  CASE WHEN regexp_matches(
+                         json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                       THEN TRY_CAST(json_extract_string(props, '$.k')
+                                     AS INTEGER)
+                  END
                 END) AS BIGINT) AS k_sum
 FROM m GROUP BY event_type
 """

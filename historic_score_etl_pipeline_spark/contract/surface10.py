@@ -93,7 +93,9 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.withColumn("v", F.try_parse_json(F.col("props")))
     return (
         v.withColumn(
-            "k", F.expr("try_variant_get(v, '$.k', 'int')")
+            # 'bigint', not 'int': an int32-overflowing numeric k would
+            # NULL out in Spark while DuckDB's BIGINT keeps it
+            "k", F.expr("try_variant_get(v, '$.k', 'bigint')")
         )
         .where(F.col("k") > 50)
         .groupBy("event_type")
@@ -107,8 +109,12 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_VARIANT_SQL = """
 WITH base AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(
-             CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
+         -- trunc(DOUBLE): Spark's variant double->bigint TRUNCATES
+         -- (60.5 -> 60) while DuckDB's VARCHAR->BIGINT cast ROUNDS
+         -- (60.5 -> 61); the double round-trip is exact for |k| < 2^53
+         TRY_CAST(trunc(TRY_CAST(json_extract_string(
+             CASE WHEN json_valid(props) THEN props END,
+             '$.k') AS DOUBLE)) AS BIGINT)
            AS k
   FROM events
 )

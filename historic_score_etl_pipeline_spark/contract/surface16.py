@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.functions.strings import null_safe_csv
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 
@@ -39,14 +40,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "embedding").select(
         "vec_id",
         "q_scale_r6",
-        # guard: concat_ws renders a NULL array as '' — a NULL embedding
-        # must stay NULL, like the oracle's array_to_string(NULL)
-        F.when(
-            F.col("q_codes").isNotNull(),
-            F.concat_ws(
-                ",",
-                F.transform(F.col("q_codes"), lambda x: x.cast("string")),
-            ),
+        # null_safe_csv: a NULL embedding must stay NULL, like the
+        # oracle's array_to_string(NULL) (determinism rule 7)
+        null_safe_csv(
+            F.transform(F.col("q_codes"), lambda x: x.cast("string"))
         ).alias("q_codes_csv"),
     )
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.functions.strings import null_safe_csv
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- base64 roundtrip -----------------------------------------------------------
@@ -77,12 +78,11 @@ def str_initcap_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-delimited word rule and the oracle's explicit per-token
     ucfirst agree by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    # the NULL guard pins NULL text → NULL title: concat_ws would render
-    # the NULL token array as '' while the oracle's array_to_string(NULL)
-    # stays NULL
-    head6 = F.when(
-        F.col("text").isNotNull(),
-        F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 6)),
+    # null_safe_csv pins NULL text → NULL title (determinism rule 7):
+    # bare concat_ws would render the NULL token array as '' while the
+    # oracle's array_to_string(NULL) stays NULL
+    head6 = null_safe_csv(
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " "
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -144,8 +144,10 @@ WITH base AS (
   SELECT event_type,
          -- json_valid guard: DuckDB json_extract THROWS on malformed
          -- JSON; Spark's get_json_object returns NULL
-         TRY_CAST(json_extract_string(
-             CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
+         TRY_CAST(CASE WHEN regexp_matches(json_extract_string(
+                    CASE WHEN json_valid(props) THEN props END, '$.k'),
+                    '^-?[0-9]+$')
+                  THEN json_extract_string(props, '$.k') END AS BIGINT)
            AS k
   FROM events
 )

@@ -12,6 +12,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def null_safe_csv(arr: Column, sep: str = ",") -> Column:
+    """``concat_ws`` that PROPAGATES a NULL array instead of rendering it
+    as ``''`` — determinism rule 7 (ARCHITECTURE.md): Spark's concat_ws
+    silently merges a NULL array with the empty encoding, so every
+    fingerprint/CSV-encoding of a nullable array must go through this
+    (the oracle side's ``array_to_string(NULL)`` stays NULL)."""
+    return F.when(arr.isNotNull(), F.concat_ws(sep, arr))
+
+
 def split_clean(col: Column | str, newline_to: str = ",") -> Column:
     """Newline-normalising tokenizer.
 

@@ -105,13 +105,27 @@ def _documents(t: pa.Table) -> pa.Table:
     )
     # wave 2: an UNSEEN language code — every lang-keyed group-by /
     # pivot / per-lang quota op must route the new group identically
+    probe = "unseen language bucket probe text"
     rows.append(
         {
             "doc_id": KEY_BASE + len(_ADV_TEXTS) + 1,
-            "text": "unseen language bucket probe text",
+            "text": probe,
             "lang": "xx",
             "source": "src0",
-            "n_chars": 34,
+            "n_chars": len(probe),
+        }
+    )
+    # wave 3: a SECOND degenerate doc in lang 'en' whose id is NOT ≡0
+    # (mod 10) — pairs with the empty doc KEY_BASE+0 (en, ≡0) through
+    # the thinned ngram-Jaccard join, locking the degenerate-shingle
+    # parity fix (extensions.py DEDUP_NGRAM_JACCARD)
+    rows.append(
+        {
+            "doc_id": KEY_BASE + len(_ADV_TEXTS) + 2,
+            "text": "",
+            "lang": "en",
+            "source": "src1",
+            "n_chars": 0,
         }
     )
     return _append(t, rows)
@@ -182,15 +196,23 @@ def _events(t: pa.Table) -> pa.Table:
     ]
     # wave 2: trailing-space type (trim assumptions), and events at the
     # EXACT min/max clean timestamps (window/boundary inclusivity)
-    ts_min = min(t.column("ts").to_pylist())
-    ts_max = max(t.column("ts").to_pylist())
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(t.column("ts")).as_py()
     rows += [
         dict(event_id=KEY_BASE + 11, ts=midnight, user_id=12,
              event_type="view ", value=7.0, props='{"k": 4}'),
-        dict(event_id=KEY_BASE + 12, ts=ts_min, user_id=13,
+        dict(event_id=KEY_BASE + 12, ts=mm["min"], user_id=13,
              event_type="click", value=8.0, props='{"k": 5}'),
-        dict(event_id=KEY_BASE + 13, ts=ts_max, user_id=13,
+        dict(event_id=KEY_BASE + 13, ts=mm["max"], user_id=13,
              event_type="click", value=9.0, props='{"k": 6}'),
+        # wave 3: numeric-edge JSON k — a fractional value (Spark int
+        # casts reject / variant truncates; DuckDB's VARCHAR cast would
+        # round) and an int32-overflowing value (bigint on both engines)
+        dict(event_id=KEY_BASE + 14, ts=midnight, user_id=13,
+             event_type="view", value=10.0, props='{"k": 60.5}'),
+        dict(event_id=KEY_BASE + 15, ts=midnight, user_id=13,
+             event_type="view", value=11.0, props='{"k": 9999999999}'),
     ]
     return _append(t, rows)
 

@@ -58,9 +58,9 @@ FIRST_CONTACT_FAILURES = sorted(
 
 
 @pytest.fixture(scope="module")
-def adversarial_dir(tmp_path_factory) -> str:
+def adversarial_dir(tmp_path_factory, sf_smoke) -> str:
     return build_adversarial_fixture(
-        "/root/testdata/sf0.001",
+        sf_smoke,
         str(tmp_path_factory.mktemp("adversarial_sf")),
     )
 
