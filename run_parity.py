@@ -45,18 +45,23 @@ def _hostile_spark():
 
 
 def _adversarial_dir() -> str:
-    """Build the perturbed fixture (rebuilt on every run — it takes ~1 s)
-    from the requested scale into .adversarial_sf next to this file.
-    SPARK_GRAFT_PARITY_SF picks the SOURCE dir, same as the plain mode;
-    the default is sf0.001 because the adversarial axis tests semantics,
-    not scale — the sf0.1 sweep owns the scale axis."""
+    """Build the perturbed fixture (rebuilt per invocation — ~1 s at
+    sf0.001) into a PER-PROCESS temp dir.  A shared path raced exactly
+    like the pre-ADVICE-r3 staging dirs: a concurrent run_parity with a
+    different SPARK_GRAFT_PARITY_SF would rebuild the fixture mid-sweep
+    under the other process's feet (observed: two phantom FAILs in the
+    first sf0.1-sourced sweep).  SPARK_GRAFT_PARITY_SF picks the SOURCE
+    dir, same as the plain mode; the default is sf0.001 because the
+    adversarial axis tests semantics, not scale — the sf0.1 sweep owns
+    the scale axis."""
+    import tempfile
+
     from historic_score_etl_pipeline_spark.testing_adversarial import (
         build_adversarial_fixture,
     )
 
     src = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
-    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".adversarial_sf")
+    dst = tempfile.mkdtemp(prefix="hsep_adversarial_")
     return build_adversarial_fixture(src, dst)
 
 
