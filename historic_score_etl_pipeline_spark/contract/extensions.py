@@ -154,10 +154,15 @@ FROM g
 def sink_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retried, idempotent batch write + read-back (the reference's
     load-retry-park-salvage loops, app/team_utilities.py:510-554, minus
-    its duplicate-on-retry hazard).  Writes under the repo tmp dir; the
-    returned frame is the round-tripped data."""
+    its duplicate-on-retry hazard).  Writes under an app-scoped tmp dir
+    (two concurrent sessions — pytest + run_parity, explicitly supported
+    — would otherwise overwrite the SAME batch_id dir and expose each
+    other to torn reads; same race class as the pre-ADVICE-r3 staging);
+    the returned frame is the round-tripped data."""
     out_root = os.path.join(
-        tempfile.gettempdir(), "historic_score_etl_pipeline_spark_sink"
+        tempfile.gettempdir(),
+        "historic_score_etl_pipeline_spark_sink_"
+        + spark.sparkContext.applicationId,
     )
     errors = ErrorChannel()
     df = (
