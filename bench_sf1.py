@@ -92,6 +92,10 @@ SF10_HEAVIES = [
     "text_bm25_score",
     "dedup_minhash_jaccard_est",
     "udaf_longest_increasing_run",
+    # round-8 session-3, second batch: the event-series heavies (events
+    # tiled in the v2 replica — users 100x, fixed series length/user)
+    "event_funnel_conversion",
+    "window_rolling_median",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
@@ -181,7 +185,7 @@ def build_sf10() -> None:
     """
     import duckdb
 
-    marker = os.path.join(OUT10, "_BUILT_v1")
+    marker = os.path.join(OUT10, "_BUILT_v2")
     if os.path.exists(marker):
         return
     shutil.rmtree(OUT10, ignore_errors=True)
@@ -212,9 +216,18 @@ def build_sf10() -> None:
         "regexp_replace(text, '(\\S+)', '\\1x{i}', 'g') AS text, "
         "lang, source, n_chars FROM {src}",
     )
+    # v2: tile events too (same strides as the sf1 replica) so the
+    # event-series heavies get second-decade rows — users scale 100x,
+    # per-user series length stays fixed, the realistic growth shape
+    tile(
+        "events",
+        f"SELECT event_id + {{i}} * {STRIDE_EVENT} AS event_id, ts, "
+        f"user_id + {{i}} * {STRIDE_USER} AS user_id, "
+        "event_type, value, props FROM {src}",
+    )
     for table in (
         "region", "nation", "part", "supplier", "customer", "orders",
-        "events", "embeddings",
+        "embeddings",
     ):
         shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT10}/{table}.parquet")
     with open(marker, "w") as f:
