@@ -96,6 +96,9 @@ SF10_HEAVIES = [
     # tiled in the v2 replica — users 100x, fixed series length/user)
     "event_funnel_conversion",
     "window_rolling_median",
+    # round-8 session-3, third batch: embeddings tiled with the sign-flip
+    # decorrelator (v3 replica) — the last heavy without an sf10 row
+    "embed_lsh_hyperplane",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
@@ -185,7 +188,7 @@ def build_sf10() -> None:
     """
     import duckdb
 
-    marker = os.path.join(OUT10, "_BUILT_v2")
+    marker = os.path.join(OUT10, "_BUILT_v3")
     if os.path.exists(marker):
         return
     shutil.rmtree(OUT10, ignore_errors=True)
@@ -225,9 +228,34 @@ def build_sf10() -> None:
         f"user_id + {{i}} * {STRIDE_USER} AS user_id, "
         "event_type, value, props FROM {src}",
     )
+    # v3: tile embeddings with a PER-COPY DETERMINISTIC SIGN-FLIP
+    # decorrelator.  The sf1 replica's cyclic dim rotation caps at 64
+    # distinct copies (the dim count); diagonal ±1 transforms give 2^64
+    # patterns — norms and intra-copy distances are exactly preserved
+    # while every copy's hyperplane projections land in decorrelated
+    # buckets, so LSH candidates keep scaling in rows, not copies².
+    import hashlib
+
+    def _flips(i: int) -> list[int]:
+        dig = hashlib.md5(f"signflip_{i}".encode()).digest() * 4
+        return [1 if (dig[d // 8] >> (d % 8)) & 1 else -1
+                for d in range(64)]
+
+    emb_parts = []
+    for i in range(COPIES10):
+        flips = ", ".join(str(f) for f in _flips(i))
+        emb_parts.append(
+            f"SELECT vec_id + {i} * 1000000 AS vec_id, "
+            f"list_transform(embedding, (x, d) -> "
+            f"CAST(x * ([{flips}])[d] AS FLOAT)) AS embedding, "
+            f"label FROM read_parquet('{SRC}/embeddings.parquet')"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(emb_parts)}) "
+        f"TO '{OUT10}/embeddings.parquet' (FORMAT PARQUET)"
+    )
     for table in (
         "region", "nation", "part", "supplier", "customer", "orders",
-        "embeddings",
     ):
         shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT10}/{table}.parquet")
     with open(marker, "w") as f:
