@@ -237,7 +237,8 @@ def build_sf10() -> None:
     import hashlib
 
     def _flips(i: int) -> list[int]:
-        dig = hashlib.md5(f"signflip_{i}".encode()).digest() * 4
+        # 64 sign bits = bytes 0–7 of the 16-byte digest
+        dig = hashlib.md5(f"signflip_{i}".encode()).digest()
         return [1 if (dig[d // 8] >> (d % 8)) & 1 else -1
                 for d in range(64)]
 

@@ -59,14 +59,20 @@ JSON_PARSE_EXTRACT_SQL = """
 -- json_valid guard: DuckDB's json_extract THROWS on malformed JSON where
 -- Spark's get_json_object returns NULL — route invalid/NULL props to NULL
 -- integer-string guard: Spark's try_cast(VARCHAR as INT) rejects
--- '60.5' (NULL) where DuckDB's TRY_CAST ROUNDS it to 61
+-- '60.5' (NULL) where DuckDB's TRY_CAST ROUNDS it to 61, but ACCEPTS a
+-- leading '+' and [\\x00-\\x20]-padded strings (UTF8String.trimAll) —
+-- strip that exact set, then require an optional-sign integer
+WITH raw AS (
+  SELECT event_id,
+         regexp_replace(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k'),
+           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS ks
+  FROM events
+)
 SELECT event_id,
-       TRY_CAST(CASE WHEN regexp_matches(json_extract_string(
-                  CASE WHEN json_valid(props) THEN props END, '$.k'),
-                  '^-?[0-9]+$')
-                THEN json_extract_string(props, '$.k') END AS INTEGER)
-         AS k_val
-FROM events
+       TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                THEN ks END AS INTEGER) AS k_val
+FROM raw
 """
 
 

@@ -441,6 +441,14 @@ WITH m AS (
               THEN substring(props, 1, length(props)-1)
               ELSE props END AS props
   FROM events
+), mk AS (
+  -- ks: $.k extracted only under json_valid (DuckDB json_extract_string
+  -- THROWS on invalid JSON), stripped of Spark's trimAll set [\\x00-\\x20]
+  SELECT event_type, props,
+         regexp_replace(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k'),
+           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS ks
+  FROM m
 )
 SELECT event_type,
        count(*) FILTER (json_valid(props)) AS n_valid,
@@ -448,17 +456,11 @@ SELECT event_type,
        -- of NULL is NULL, which a bare FILTER would drop from BOTH sides
        count(*) FILTER (props IS NULL OR NOT json_valid(props))
          AS n_corrupt,
-       -- nested CASE (not AND): conjunct order is not guaranteed, and
-       -- json_extract_string THROWS on invalid JSON in DuckDB; the
-       -- integer-string guard matches Spark's try_cast rejecting '60.5'
-       CAST(sum(CASE WHEN json_valid(props) THEN
-                  CASE WHEN regexp_matches(
-                         json_extract_string(props, '$.k'), '^-?[0-9]+$')
-                       THEN TRY_CAST(json_extract_string(props, '$.k')
-                                     AS INTEGER)
-                  END
-                END) AS BIGINT) AS k_sum
-FROM m GROUP BY event_type
+       -- integer-string guard matches Spark's try_cast: rejects '60.5',
+       -- accepts '+5' / whitespace-padded (stripped above)
+       CAST(sum(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                THEN TRY_CAST(ks AS INTEGER) END) AS BIGINT) AS k_sum
+FROM mk GROUP BY event_type
 """
 
 

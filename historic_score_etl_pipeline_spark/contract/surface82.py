@@ -140,16 +140,20 @@ def json_props_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_PROPS_NUMERIC_STATS_SQL = """
-WITH base AS (
+WITH raw AS (
   SELECT event_type,
          -- json_valid guard: DuckDB json_extract THROWS on malformed
-         -- JSON; Spark's get_json_object returns NULL
-         TRY_CAST(CASE WHEN regexp_matches(json_extract_string(
-                    CASE WHEN json_valid(props) THEN props END, '$.k'),
-                    '^-?[0-9]+$')
-                  THEN json_extract_string(props, '$.k') END AS BIGINT)
-           AS k
+         -- JSON; Spark's get_json_object returns NULL.  Strip Spark's
+         -- trimAll set [\\x00-\\x20] so '+5' / ' 5 ' cast like Spark
+         regexp_replace(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k'),
+           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS ks
   FROM events
+), base AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                  THEN ks END AS BIGINT) AS k
+  FROM raw
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

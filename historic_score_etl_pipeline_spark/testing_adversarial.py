@@ -213,7 +213,35 @@ def _events(t: pa.Table) -> pa.Table:
              event_type="view", value=10.0, props='{"k": 60.5}'),
         dict(event_id=KEY_BASE + 15, ts=midnight, user_id=13,
              event_type="view", value=11.0, props='{"k": 9999999999}'),
+        # wave 3 (ADVICE r8): STRING-valued $.k with a leading '+' and
+        # whitespace padding — Spark's try_cast(VARCHAR) trims the
+        # [\x00-\x20] set and accepts an optional sign; these rows pin
+        # the widened oracle guard (aggregates/surface/surface82)
+        dict(event_id=KEY_BASE + 16, ts=midnight, user_id=13,
+             event_type="view", value=12.0, props='{"k": "+5"}'),
+        dict(event_id=KEY_BASE + 17, ts=midnight, user_id=13,
+             event_type="view", value=13.0, props='{"k": " 5 "}'),
+        dict(event_id=KEY_BASE + 18, ts=midnight, user_id=13,
+             event_type="view", value=14.0, props='{"k": "\\t7 "}'),
+        dict(event_id=KEY_BASE + 19, ts=midnight, user_id=13,
+             event_type="view", value=15.0, props='{"k": "+ 5"}'),
     ]
+    # wave 3 (skew axis, VERDICT r8 ask #6): a HOT USER owning up to
+    # ~50% of all event rows — the tile that makes salted-agg and
+    # per-user self-join paths face real key skew.  Distinct seconds
+    # keep (user, ts) mostly tie-free (the tie rows above own that
+    # axis); types/values cycle deterministically over real labels.
+    n_hot = min(t.num_rows, 50_000)
+    hot_types = ["click", "view", "purchase", "error", "signup"]
+    for i in range(n_hot):
+        rows.append(
+            dict(event_id=KEY_BASE + 100 + i,
+                 ts=midnight + dt.timedelta(seconds=i),
+                 user_id=99,
+                 event_type=hot_types[i % len(hot_types)],
+                 value=float(i % 100) / 4.0,
+                 props='{"k": %d}' % (i % 7))
+        )
     return _append(t, rows)
 
 
@@ -242,6 +270,21 @@ def _lineitem(t: pa.Table) -> pa.Table:
             "l_returnflag": "Z", "l_linestatus": "Z"
         },
     ]
+    # wave 3 (skew axis, VERDICT r8 ask #6): a HOT ORDERKEY owning up to
+    # ~50% of all lineitem rows — stresses join_skew_split's hot branch
+    # (lineitem⋈orders on l_orderkey) and agg_salted_sum's dominant
+    # group the way wave 1 stressed NULL handling.  Reuses row 0's real
+    # orderkey so the join still matches; quantities/prices cycle
+    # deterministically and stay far inside the DECIMAL(18,2) domain.
+    n_hot = min(t.num_rows, 50_000)
+    for i in range(n_hot):
+        rows.append(
+            dict(base, l_linenumber=1000 + i,
+                 l_quantity=float(1 + i % 50),
+                 l_extendedprice=float(10 + i % 1000) + 0.25,
+                 l_discount=float(i % 11) / 100.0,
+                 l_tax=float(i % 9) / 100.0)
+        )
     out = _append(t, rows)
     # one exact full-row duplicate: DISTINCT / dedup / count semantics
     return _dup_head(out, 1)

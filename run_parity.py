@@ -53,7 +53,10 @@ def _adversarial_dir() -> str:
     first sf0.1-sourced sweep).  SPARK_GRAFT_PARITY_SF picks the SOURCE
     dir, same as the plain mode; the default is sf0.001 because the
     adversarial axis tests semantics, not scale — the sf0.1 sweep owns
-    the scale axis."""
+    the scale axis.  The dir is removed at interpreter exit (ADVICE r8:
+    repeated sweeps were accumulating perturbed copies in /tmp)."""
+    import atexit
+    import shutil
     import tempfile
 
     from historic_score_etl_pipeline_spark.testing_adversarial import (
@@ -62,6 +65,7 @@ def _adversarial_dir() -> str:
 
     src = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
     dst = tempfile.mkdtemp(prefix="hsep_adversarial_")
+    atexit.register(shutil.rmtree, dst, ignore_errors=True)
     return build_adversarial_fixture(src, dst)
 
 

@@ -57,6 +57,29 @@ FIRST_CONTACT_FAILURES = sorted(
 )
 
 
+def _rotating_slice(n: int = 40) -> list[str]:
+    """A per-round deterministic sample of the REST of the registry
+    (ADVICE r8): a contract change that breaks adversarial parity on a
+    key outside FIRST_CONTACT_FAILURES now has a 40/(527−60) ≈ 9%
+    chance per round of being caught by CI alone, on top of the manual
+    full ``run_parity.py --adversarial`` sweep.  The round index is the
+    count of driver CORRECTNESS files, so the slice rotates each round
+    with no code change; within a round it is stable (md5 order)."""
+    import glob
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rnd = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    pinned = set(FIRST_CONTACT_FAILURES)
+    rest = [k for k in contract.queries() if k not in pinned]
+    rest.sort(key=lambda k: hashlib.md5(f"adv{rnd}_{k}".encode()).hexdigest())
+    return sorted(rest[:n])
+
+
+ROTATING_SLICE = _rotating_slice()
+
+
 @pytest.fixture(scope="module")
 def adversarial_dir(tmp_path_factory, sf_smoke) -> str:
     return build_adversarial_fixture(
@@ -70,8 +93,7 @@ def adv_con(adversarial_dir):
     return duckdb_connection(adversarial_dir)
 
 
-@pytest.mark.parametrize("name", FIRST_CONTACT_FAILURES)
-def test_adversarial_fixture_parity(name, spark, adversarial_dir, adv_con):
+def _check_adversarial(name, spark, adversarial_dir, adv_con):
     qs, oracles = contract.queries(), contract.oracle_sql()
     sdf = qs[name](spark, adversarial_dir).toPandas()
     if name not in oracles:
@@ -80,3 +102,13 @@ def test_adversarial_fixture_parity(name, spark, adversarial_dir, adv_con):
     odf = adv_con.execute(oracles[name]).df()
     result = compare(name, sdf, odf)
     assert result.ok, result.detail
+
+
+@pytest.mark.parametrize("name", FIRST_CONTACT_FAILURES)
+def test_adversarial_fixture_parity(name, spark, adversarial_dir, adv_con):
+    _check_adversarial(name, spark, adversarial_dir, adv_con)
+
+
+@pytest.mark.parametrize("name", ROTATING_SLICE)
+def test_adversarial_rotating_slice(name, spark, adversarial_dir, adv_con):
+    _check_adversarial(name, spark, adversarial_dir, adv_con)
