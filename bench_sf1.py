@@ -70,6 +70,11 @@ HEAVIES = [
     "graph_kcore_two_pass",        # lineitem co-order graph (tiled)
     "text_bm25_score",             # documents (tiled, token-suffixed)
     "udaf_longest_increasing_run",  # lineitem (orderkey-strided)
+    # round-9 additions (VERDICT r8 asks #1/#2): the two fixed-banding
+    # keys under scale scrutiny — the saturable SimHash sibling and the
+    # new corpus-width LSH that must NOT reproduce the 1.885 exponent
+    "dedup_simhash_hamming",       # documents (tiled, token-suffixed)
+    "embed_lsh_hyperplane_scaled",  # embeddings (tiled+decorrelated)
 ]
 
 # VERDICT r6 ask #3: one more order of magnitude for the 3 heaviest.
@@ -99,6 +104,11 @@ SF10_HEAVIES = [
     # round-8 session-3, third batch: embeddings tiled with the sign-flip
     # decorrelator (v3 replica) — the last heavy without an sf10 row
     "embed_lsh_hyperplane",
+    # round-9 (VERDICT r8 asks #1/#2): measure the saturable-class
+    # SimHash key and the corpus-width LSH replacement at the second
+    # decade (documents / embeddings — both already tiled)
+    "dedup_simhash_hamming",
+    "embed_lsh_hyperplane_scaled",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
@@ -299,6 +309,12 @@ def run_set(
 
 def main() -> None:
     sf10_mode = "--sf10" in sys.argv[1:]
+    # --only=k1,k2 measures a subset (new keys / re-measurements) without
+    # paying for the full heavy list (pagerank alone is ~240 s at sf10)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     build_sf1()
     if sf10_mode:
         build_sf10()
@@ -328,7 +344,7 @@ def main() -> None:
     qs = contract.queries()
     # warmup at the smallest SF: compile codegen before any timed pass
     warm = "/root/testdata/sf0.001"
-    for name in HEAVIES:
+    for name in only if only else HEAVIES:
         try:
             qs[name](spark, warm).write.format("noop").mode(
                 "overwrite"
@@ -345,8 +361,9 @@ def main() -> None:
         # the local-mode harness constraint, not the plan, OOMing.
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         # second decade: sf1 -> sf10, same session, best-of-2 each
-        t1 = run_set(spark, OUT, qs, None, SF10_HEAVIES)
-        t10 = run_set(spark, OUT10, qs, None, SF10_HEAVIES)
+        names10 = only if only else SF10_HEAVIES
+        t1 = run_set(spark, OUT, qs, None, names10)
+        t10 = run_set(spark, OUT10, qs, None, names10)
         exp = {
             k: round(math.log10(max(t10[k], 1e-3) / max(t1[k], 1e-3)), 3)
             for k in t1
@@ -370,8 +387,8 @@ def main() -> None:
         )
         return
 
-    t01 = run_set(spark, SRC, qs, flagship_pipeline)
-    t1 = run_set(spark, OUT, qs, flagship_pipeline)
+    t01 = run_set(spark, SRC, qs, None if only else flagship_pipeline, only)
+    t1 = run_set(spark, OUT, qs, None if only else flagship_pipeline, only)
     exp = {
         k: round(math.log10(max(t1[k], 1e-3) / max(t01[k], 1e-3)), 3)
         for k in t01

@@ -1,0 +1,216 @@
+"""Round-9 batch 77 — the scale-safe sibling of the fixed-width
+SRP-LSH (VERDICT r8 ask #1):
+
+* ``embed_lsh_hyperplane_scaled`` — hyperplane LSH whose band width is
+  DERIVED FROM THE CORPUS: w = clamp(ceil(log2(n)), 4, 24) bits per
+  band, 4 bands, so per-band bucket space 2^w tracks the corpus count
+  and never saturates the way ``embed_lsh_hyperplane``'s fixed 4-bit
+  bands measurably did (BASELINE.md §r8-third-batch: exponent 1.885 at
+  sf10 — 64 total buckets vs 200k vectors → within-bucket pairs ~n²).
+  Here 2^w ≥ n/2 by construction: expected bucket occupancy stays O(1)
+  and candidate pairs stay O(n) at every scale (the cap of 24 bits —
+  16.7M buckets/band — covers corpora to ~3×10⁷ vectors per partition
+  grain; raise the cap constant for more).
+
+  The corpus count reaches the plan as a 1-row broadcast (scalar-
+  folding rule, ARCHITECTURE.md) — no driver fold, plan stays lazy.
+  Everything else replays the fixed sibling's engine-portable chain
+  (surface51.py): md5-derived ±1 hyperplanes (tag ``hps_<h>_<i>`` so
+  the two keys' hyperplane families are independent), integer-quantized
+  projections (floor(x·1e6 + 0.5) — exact, no float accumulation
+  divergence), band-bucket equi-join, popcount(xor) ≤ 3 verify over
+  the full 4w-bit signature carried as a 4-long array.
+
+Scale notes: signatures are computed in one whole-stage-codegen
+projection against the broadcast hyperplane row (no shuffle); banding
+explodes 4 rows/vector into a (band, key) equi-join whose key space
+scales with n; the verify step is array popcount arithmetic on the
+joined pair — never a second pass over the corpus.  Reference parity:
+the reference has no ANN operator; this extends its dedup surface
+(flashscore-scraper's exact URL-key dedup, main.py:118-139) to the
+embedding near-dup class a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+_SRPS_BANDS = 4
+_SRPS_DIM = 64
+_SRPS_MAX_DIST = 3
+_SRPS_MIN_W = 4
+_SRPS_MAX_W = 24
+
+
+def _srps_sign(h, i):
+    """Deterministic ±1 from md5('hps_<h>_<i>') — identical in SQL."""
+    tag = F.concat(
+        F.lit("hps_"), h.cast("string"), F.lit("_"), i.cast("string")
+    )
+    bit = F.conv(F.substring(F.md5(tag), 1, 1), 16, 10).cast("long") % 2
+    return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def srps_width(n_col):
+    """Band width law: w = clamp(ceil(log2(n)), 4, 24) bits."""
+    return F.greatest(
+        F.lit(_SRPS_MIN_W),
+        F.least(
+            F.lit(_SRPS_MAX_W),
+            F.ceil(F.log2(n_col.cast("double"))).cast("int"),
+        ),
+    )
+
+
+def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-width SRP signatures → 4-band blocking → Hamming ≤ 3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 1-row scalar: corpus count → band width → 4w hyperplanes.  The
+    # hyperplane matrix is folded in as a broadcast row (scalar-folding
+    # rule) exactly like the fixed-width sibling's.
+    hp = (
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(srps_width(F.col("n")).alias("w"))
+        .select(
+            "w",
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.col("w") * _SRPS_BANDS - F.lit(1)
+                ),
+                lambda h: F.transform(
+                    F.sequence(F.lit(0), F.lit(_SRPS_DIM - 1)),
+                    lambda i: _srps_sign(h, i),
+                ),
+            ).alias("hp"),
+        )
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    # ks[b] = Σ_j [ dot(q, hp[b·w+j]) > 0 ] · 2^j   (exact integer dot;
+    # pow(2, j) is exact in double for j ≤ 52, and j < w ≤ 24)
+    ks_col = F.transform(
+        F.sequence(F.lit(0), F.lit(_SRPS_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.col("w") - F.lit(1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.element_at(
+                            F.col("hp"),
+                            (b * F.col("w") + j + 1).cast("int"),
+                        ),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    sig = (
+        emb.crossJoin(F.broadcast(hp))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            q.alias("q"),
+            "hp",
+            "w",
+        )
+        .select("vec_id", ks_col.alias("ks"))
+    )
+    bands = sig.select(
+        "vec_id", "ks", F.posexplode("ks").alias("band", "bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.ks").alias("ks_a"),
+            F.col("b.ks").alias("ks_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "ks_a",
+            "ks_b",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= _SRPS_MAX_DIST)
+
+
+EMBED_LSH_HYPERPLANE_SCALED_SQL = f"""
+WITH nb AS (
+  SELECT count(*) AS n FROM embeddings
+), wb AS (
+  SELECT GREATEST({_SRPS_MIN_W}, LEAST({_SRPS_MAX_W},
+           CAST(ceil(log2(CAST(n AS DOUBLE))) AS INTEGER))) AS w
+  FROM nb
+), hp AS (
+  SELECT h,
+         list_transform(generate_series(0, {_SRPS_DIM - 1}), i ->
+           CASE WHEN CAST(('0x' || substr(md5('hps_' || h || '_' || i), 1, 1))
+                     AS BIGINT) % 2 = 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS signs
+  FROM wb, unnest(generate_series(0, {_SRPS_BANDS} * w - 1)) AS t(h)
+), qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), proj AS (
+  SELECT qv.vec_id, hp.h,
+         list_sum(list_transform(qv.q, (x, i) -> x * hp.signs[i])) AS s
+  FROM qv CROSS JOIN hp
+), keys AS (
+  SELECT vec_id, h // wb.w AS band,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (h % wb.w))
+                  ELSE 0 END) AS BIGINT) AS bk
+  FROM proj, wb GROUP BY vec_id, h // wb.w
+), sigs AS (
+  SELECT vec_id, list(bk ORDER BY band) AS ks FROM keys GROUP BY vec_id
+), bands AS (
+  SELECT k.vec_id, k.band, k.bk, s.ks
+  FROM keys k JOIN sigs s USING (vec_id)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                  a.ks AS ks_a, b.ks AS ks_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(list_sum(list_transform(generate_series(1, {_SRPS_BANDS}),
+              b -> bit_count(xor(ks_a[b], ks_b[b])))) AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(generate_series(1, {_SRPS_BANDS}),
+        b -> bit_count(xor(ks_a[b], ks_b[b])))) <= {_SRPS_MAX_DIST}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "embed_lsh_hyperplane_scaled": QuerySpec(
+        embed_lsh_hyperplane_scaled, EMBED_LSH_HYPERPLANE_SCALED_SQL
+    ),
+}

@@ -424,6 +424,10 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # 1-row broadcast 16x64 hyperplane matrix (scalar-folding rule):
         # the BNLJ build side is exactly one row, never data-sized
         "embed_lsh_hyperplane": {"BNLJ"},
+        # the scaled sibling folds corpus-count → band width → 4w×64
+        # hyperplane matrix into the SAME 1-row broadcast; the count is
+        # one partial-state row per task (scalar-folding rule)
+        "embed_lsh_hyperplane_scaled": {"BNLJ", "SINGLE_PART"},
         # global trailing-7d window over the |days|-row daily aggregate —
         # partial-state rows only (same class as event_new_vs_returning)
         "event_forecast_moving_avg": {"SINGLE_PART"},
