@@ -76,6 +76,7 @@ HEADLINE = [
     "graph_hits_two_rounds",  # 2 HITS rounds: 4 equi-join/groupBy passes (r6)
     "graph_kcore_two_pass",  # k-core peeling, lineage-pinned passes (r6)
     "udaf_longest_increasing_run",  # grouped-map Arrow UDAF islands (r6)
+    "embed_lsh_hyperplane_scaled",  # corpus-width SRP-LSH (4 x log2-n bits) (r9)
 ]
 
 

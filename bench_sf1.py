@@ -70,10 +70,13 @@ HEAVIES = [
     "graph_kcore_two_pass",        # lineitem co-order graph (tiled)
     "text_bm25_score",             # documents (tiled, token-suffixed)
     "udaf_longest_increasing_run",  # lineitem (orderkey-strided)
-    # round-9 additions (VERDICT r8 asks #1/#2): the two fixed-banding
-    # keys under scale scrutiny — the saturable SimHash sibling and the
-    # new corpus-width LSH that must NOT reproduce the 1.885 exponent
-    "dedup_simhash_hamming",       # documents (tiled, token-suffixed)
+    # round-9 additions (VERDICT r8 asks #1/#2): the corpus-width
+    # siblings of the two fixed-banding keys.  dedup_simhash_hamming
+    # itself is NOT in the list: its saturation is established (candidate
+    # band-pairs 3.4M sf0.1 → 321M sf1 → 31.8B sf10, ~n² — the sf10 join
+    # is not completable; see BASELINE.md §r9) and keeping it would add
+    # ~25 min of known-quadratic work to every default bench run.
+    "dedup_simhash_scaled",        # documents (tiled, token-suffixed)
     "embed_lsh_hyperplane_scaled",  # embeddings (tiled+decorrelated)
 ]
 
@@ -104,10 +107,11 @@ SF10_HEAVIES = [
     # round-8 session-3, third batch: embeddings tiled with the sign-flip
     # decorrelator (v3 replica) — the last heavy without an sf10 row
     "embed_lsh_hyperplane",
-    # round-9 (VERDICT r8 asks #1/#2): measure the saturable-class
-    # SimHash key and the corpus-width LSH replacement at the second
-    # decade (documents / embeddings — both already tiled)
-    "dedup_simhash_hamming",
+    # round-9 (VERDICT r8 asks #1/#2): the corpus-width siblings at the
+    # second decade (documents / embeddings — both already tiled);
+    # dedup_simhash_hamming excluded — measured-saturated, sf10 join is
+    # 31.8B candidate pairs (BASELINE.md §r9)
+    "dedup_simhash_scaled",
     "embed_lsh_hyperplane_scaled",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")

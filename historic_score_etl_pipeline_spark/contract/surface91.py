@@ -1,5 +1,5 @@
-"""Round-9 batch 77 — the scale-safe sibling of the fixed-width
-SRP-LSH (VERDICT r8 ask #1):
+"""Round-9 batch 77 — the scale-safe siblings of the two fixed-width
+banding queries (VERDICT r8 asks #1/#2):
 
 * ``embed_lsh_hyperplane_scaled`` — hyperplane LSH whose band width is
   DERIVED FROM THE CORPUS: w = clamp(ceil(log2(n)), 4, 24) bits per
@@ -21,14 +21,30 @@ SRP-LSH (VERDICT r8 ask #1):
   divergence), band-bucket equi-join, popcount(xor) ≤ 3 verify over
   the full 4w-bit signature carried as a 4-long array.
 
+* ``dedup_simhash_scaled`` — the same widening applied to SimHash
+  (``dedup_simhash_hamming``, surface48.py — the self-flagged sibling
+  in the saturable class).  Measured r9: the fixed 4×4-bit geometry's
+  candidate pairs grow exactly ~n² once 64 buckets ≪ corpus — 3.4M
+  pairs at sf0.1 → 321M at sf1 → 31.8B at sf10 (ratios 94×/99× per
+  decade; the sf10 join is not completable in the harness).  Here each
+  band b gets its OWN md5 hash family (tag ``shb<b>_<shingle>``, 60
+  hash bits) and the majority vote runs over w = clamp(ceil(log2 n),
+  4, 24) bits per band — bucket space 2^w ≥ n/2, candidates O(n) plus
+  the true near-dup pairs.  Per-band families (instead of slicing one
+  16-bit signature) are what make the width unbounded-by-64-bits: 4
+  bands × 24 bits = 96 signature bits > the 60 a single portable md5
+  word carries.
+
 Scale notes: signatures are computed in one whole-stage-codegen
-projection against the broadcast hyperplane row (no shuffle); banding
-explodes 4 rows/vector into a (band, key) equi-join whose key space
-scales with n; the verify step is array popcount arithmetic on the
-joined pair — never a second pass over the corpus.  Reference parity:
-the reference has no ANN operator; this extends its dedup surface
-(flashscore-scraper's exact URL-key dedup, main.py:118-139) to the
-embedding near-dup class a training-data pipeline needs.
+projection against the broadcast width row (no shuffle): the per-band
+vote accumulates an array<int> of w counters in ONE pass over the
+shingle hashes (hash each shingle once per band — not once per bit);
+banding explodes 4 rows/doc(vector) into a (band, key) equi-join whose
+key space scales with n; the verify step is array popcount arithmetic
+on the joined pair — never a second pass over the corpus.  Reference
+parity: the reference has no ANN/near-dup operator; this extends its
+exact URL-key dedup (flashscore-scraper main.py:118-139) to the
+embedding/text near-dup class a training-data pipeline needs.
 """
 
 from __future__ import annotations
@@ -209,8 +225,165 @@ WHERE list_sum(list_transform(generate_series(1, {_SRPS_BANDS}),
 """
 
 
+# --- corpus-width SimHash near-dup -------------------------------------------------
+
+
+def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-width SimHash: per-band md5 families (``shb<b>_``),
+    majority vote over w = clamp(ceil(log2 n), 4, 24) bits per band,
+    band-bucket blocking, popcount(xor) ≤ 3 verify over 4w bits."""
+    from historic_score_etl_pipeline_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    wrow = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        srps_width(F.col("n")).alias("w")
+    )
+    base = docs.crossJoin(F.broadcast(wrow)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingles("text", n=2).alias("sh"),
+        "w",
+    )
+
+    def _pow2(j):
+        # literal-free 2^j: exact in double for j < w ≤ 24
+        return F.pow(F.lit(2.0), j.cast("double")).cast("long")
+
+    def _band_key(b: int):
+        # one 60-bit md5 word per shingle PER BAND — hash once, then a
+        # single pass accumulates all w bit-votes as an array<int>
+        hs = F.transform(
+            F.col("sh"),
+            lambda s: F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"shb{b}_"), s)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        zero = F.transform(
+            F.sequence(F.lit(0), F.col("w") - F.lit(1)), lambda j: F.lit(0)
+        )
+        votes = F.aggregate(
+            hs,
+            zero,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("w") - F.lit(1)),
+                    lambda j: F.when(
+                        h.bitwiseAND(_pow2(j)) != 0, F.lit(1)
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda x, y: x + y,
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                F.sequence(F.lit(0), F.col("w") - F.lit(1)),
+                lambda v, j: F.when(v > 0, _pow2(j)).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    sig = base.select(
+        "doc_id",
+        F.array(*[_band_key(b) for b in range(_SRPS_BANDS)]).alias("ks"),
+    )
+    bands = sig.select(
+        "doc_id", "ks", F.posexplode("ks").alias("band", "bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ks").alias("ks_a"),
+            F.col("b.ks").alias("ks_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "ks_a",
+            "ks_b",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= _SRPS_MAX_DIST)
+
+
+DEDUP_SIMHASH_SCALED_SQL = f"""
+WITH nb AS (
+  SELECT count(*) AS n FROM documents WHERE text IS NOT NULL
+), wb AS (
+  SELECT GREATEST({_SRPS_MIN_W}, LEAST({_SRPS_MAX_W},
+           CAST(ceil(log2(CAST(n AS DOUBLE))) AS INTEGER))) AS w
+  FROM nb
+), toks AS (
+  SELECT doc_id,
+         string_split_regex(
+           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 1, 1)),
+           i -> array_to_string(t[i:i+1], ' '))) AS sh
+  FROM toks
+), bandhash AS (
+  SELECT doc_id, u.band,
+         list_transform(sh, s -> CAST(('0x' ||
+           substr(md5('shb' || u.band || '_' || s), 1, 15)) AS BIGINT)) AS hs
+  FROM sh, unnest([0, 1, 2, 3]) AS u(band)
+), keys AS (
+  SELECT doc_id, band,
+         CAST(list_sum(list_transform(generate_series(0, wb.w - 1),
+           j -> CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bk
+  FROM bandhash, wb
+), sigs AS (
+  SELECT doc_id, list(bk ORDER BY band) AS ks FROM keys GROUP BY doc_id
+), bands AS (
+  SELECT k.doc_id, k.band, k.bk, s.ks
+  FROM keys k JOIN sigs s USING (doc_id)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ks AS ks_a, b.ks AS ks_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(list_sum(list_transform(generate_series(1, {_SRPS_BANDS}),
+              b -> bit_count(xor(ks_a[b], ks_b[b])))) AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(generate_series(1, {_SRPS_BANDS}),
+        b -> bit_count(xor(ks_a[b], ks_b[b])))) <= {_SRPS_MAX_DIST}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embed_lsh_hyperplane_scaled": QuerySpec(
         embed_lsh_hyperplane_scaled, EMBED_LSH_HYPERPLANE_SCALED_SQL
+    ),
+    "dedup_simhash_scaled": QuerySpec(
+        dedup_simhash_scaled, DEDUP_SIMHASH_SCALED_SQL
     ),
 }

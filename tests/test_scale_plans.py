@@ -428,6 +428,8 @@ def test_plan_redflag_budget(spark, sf_oracle):
         # hyperplane matrix into the SAME 1-row broadcast; the count is
         # one partial-state row per task (scalar-folding rule)
         "embed_lsh_hyperplane_scaled": {"BNLJ", "SINGLE_PART"},
+        # corpus-width SimHash: same 1-row count→width broadcast shape
+        "dedup_simhash_scaled": {"BNLJ", "SINGLE_PART"},
         # global trailing-7d window over the |days|-row daily aggregate —
         # partial-state rows only (same class as event_new_vs_returning)
         "event_forecast_moving_avg": {"SINGLE_PART"},

@@ -140,6 +140,64 @@ def test_width_law_matches_python(spark):
     assert got == {n: _width(n) for n in ns}
 
 
+def _py_shingles2(text: str) -> set[str]:
+    import re as _re
+
+    toks = _re.sub(r"^\s+|\s+$", "", text).lower()
+    t = _re.split(r"\s+", toks)
+    return {
+        " ".join(t[i : i + 2]) for i in range(max(len(t) - 1, 1))
+    }
+
+
+def _py_simhash_keys(text: str, w: int) -> list[int]:
+    keys = []
+    for b in range(4):
+        votes = [0] * w
+        for s in _py_shingles2(text):
+            h = int(
+                hashlib.md5(f"shb{b}_{s}".encode()).hexdigest()[:15], 16
+            )
+            for j in range(w):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        keys.append(
+            sum(1 << j for j in range(w) if votes[j] > 0)
+        )
+    return keys
+
+
+def test_scaled_simhash_matches_python_twin(spark, sf_oracle):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_oracle, "documents")
+        .where("text IS NOT NULL")
+        .collect()
+    }
+    w = _width(len(docs))
+    ks = {d: _py_simhash_keys(t, w) for d, t in docs.items()}
+    buckets: dict[tuple, list] = {}
+    for d, keys in ks.items():
+        for b in range(4):
+            buckets.setdefault((b, keys[b]), []).append(d)
+    want: dict[tuple, int] = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                dist = sum(
+                    bin(ka ^ kb).count("1")
+                    for ka, kb in zip(ks[a], ks[b])
+                )
+                if dist <= 3:
+                    want[(a, b)] = dist
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in surface91.dedup_simhash_scaled(spark, sf_oracle).collect()
+    }
+    assert got == want
+    assert got  # the fixture's real near-dups must surface
+
+
 def test_bucket_space_tracks_corpus():
     """The anti-saturation law: per-band bucket space 2^w stays ≥ n/2
     up to the 24-bit cap — the property whose absence made the
