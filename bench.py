@@ -77,6 +77,7 @@ HEADLINE = [
     "graph_kcore_two_pass",  # k-core peeling, lineage-pinned passes (r6)
     "udaf_longest_increasing_run",  # grouped-map Arrow UDAF islands (r6)
     "embed_lsh_hyperplane_scaled",  # corpus-width SRP-LSH (4 x log2-n bits) (r9)
+    "dedup_simhash_scaled",  # corpus-width SimHash, per-band md5 families (r9)
 ]
 
 

@@ -113,6 +113,13 @@ SF10_HEAVIES = [
     # 31.8B candidate pairs (BASELINE.md §r9)
     "dedup_simhash_scaled",
     "embed_lsh_hyperplane_scaled",
+    # round-9 (VERDICT r8 ask #7): the next cost tier by r8 bench time —
+    # every table already tiled (events v2, documents, embeddings v3)
+    "event_anomaly_cusum",
+    "embed_nearest_centroid",
+    "join_asof_backward",
+    "text_repetition",
+    "dedup_decontaminate_13gram",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
