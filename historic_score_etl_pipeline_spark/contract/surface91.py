@@ -26,19 +26,21 @@ banding queries (VERDICT r8 asks #1/#2):
   in the saturable class).  Measured r9: the fixed 4×4-bit geometry's
   candidate pairs grow exactly ~n² once 64 buckets ≪ corpus — 3.4M
   pairs at sf0.1 → 321M at sf1 → 31.8B at sf10 (ratios 94×/99× per
-  decade; the sf10 join is not completable in the harness).  Here each
-  band b gets its OWN md5 hash family (tag ``shb<b>_<shingle>``, 60
-  hash bits) and the majority vote runs over w = clamp(ceil(log2 n),
-  4, 24) bits per band — bucket space 2^w ≥ n/2, candidates O(n) plus
-  the true near-dup pairs.  Per-band families (instead of slicing one
-  16-bit signature) are what make the width unbounded-by-64-bits: 4
-  bands × 24 bits = 96 signature bits > the 60 a single portable md5
-  word carries.
+  decade; the sf10 join is not completable in the harness).  Here ONE
+  md5 digest per shingle (tag ``shs_<shingle>``) carries all four
+  bands — hex digits [6b, 6b+6) are band b's 24 hash bits — and the
+  majority vote runs over w = clamp(ceil(log2 n), 4, 24) bits per band:
+  bucket space 2^w ≥ n/2, candidates O(n) plus the true near-dup
+  pairs.  Slicing the 128-bit digest (instead of the fixed sibling's
+  single 16-bit signature) is what makes the width scalable: 4 bands ×
+  24 bits = 96 signature bits ≤ the 128 one md5 provides, at ONE
+  string hash per shingle.
 
 Scale notes: signatures are computed in one whole-stage-codegen
-projection against the broadcast width row (no shuffle): the per-band
-vote accumulates an array<int> of w counters in ONE pass over the
-shingle hashes (hash each shingle once per band — not once per bit);
+projection against the broadcast width row (no shuffle): all four
+bands' votes accumulate as an array-of-arrays of counters in ONE pass
+over the shingle digests (hash each shingle exactly once — not once
+per band or bit);
 banding explodes 4 rows/doc(vector) into a (band, key) equi-join whose
 key space scales with n; the verify step is array popcount arithmetic
 on the joined pair — never a second pass over the corpus.  Reference
@@ -229,9 +231,15 @@ WHERE list_sum(list_transform(generate_series(1, {_SRPS_BANDS}),
 
 
 def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-width SimHash: per-band md5 families (``shb<b>_``),
-    majority vote over w = clamp(ceil(log2 n), 4, 24) bits per band,
-    band-bucket blocking, popcount(xor) ≤ 3 verify over 4w bits."""
+    """Corpus-width SimHash: ONE md5 per shingle (``shs_`` tag; the
+    128-bit digest covers all 4 bands × ≤24 bits — hex digits
+    [6b, 6b+6) are band b's word), majority vote over
+    w = clamp(ceil(log2 n), 4, 24) bits per band, band-bucket
+    blocking, popcount(xor) ≤ 3 verify over 4w bits.  All four band
+    votes accumulate in a SINGLE aggregate pass over the shingle
+    digests (array-of-arrays accumulator) — each subexpression is
+    referenced once, so no optimizer rewrite can duplicate the
+    hashing."""
     from historic_score_etl_pipeline_spark.operators.dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents").where(
@@ -250,52 +258,57 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         # literal-free 2^j: exact in double for j < w ≤ 24
         return F.pow(F.lit(2.0), j.cast("double")).cast("long")
 
-    def _band_key(b: int):
-        # one 60-bit md5 word per shingle PER BAND — hash once, then a
-        # single pass accumulates all w bit-votes as an array<int>
-        hs = F.transform(
-            F.col("sh"),
-            lambda s: F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"shb{b}_"), s)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-        )
-        zero = F.transform(
-            F.sequence(F.lit(0), F.col("w") - F.lit(1)), lambda j: F.lit(0)
-        )
-        votes = F.aggregate(
-            hs,
-            zero,
-            lambda acc, h: F.zip_with(
-                acc,
+    wseq = F.sequence(F.lit(0), F.col("w") - F.lit(1))
+    # per shingle: one digest → 4 band words of 24 hash bits each
+    words = F.transform(
+        F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat(F.lit("shs_"), s))
+        ),
+        lambda h: F.array(
+            *[
+                F.conv(F.substring(h, 6 * b + 1, 6), 16, 10).cast("long")
+                for b in range(_SRPS_BANDS)
+            ]
+        ),
+    )
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(_SRPS_BANDS - 1)),
+        lambda _: F.transform(wseq, lambda _j: F.lit(0)),
+    )
+    # votes[b][j] = Σ_shingles (+1 if bit j of band-b word else −1)
+    votes = F.aggregate(
+        words,
+        zero,
+        lambda acc, wd: F.zip_with(
+            acc,
+            wd,
+            lambda accb, wordb: F.zip_with(
+                accb,
                 F.transform(
-                    F.sequence(F.lit(0), F.col("w") - F.lit(1)),
+                    wseq,
                     lambda j: F.when(
-                        h.bitwiseAND(_pow2(j)) != 0, F.lit(1)
+                        wordb.bitwiseAND(_pow2(j)) != 0, F.lit(1)
                     ).otherwise(F.lit(-1)),
                 ),
                 lambda x, y: x + y,
             ),
-        )
-        return F.aggregate(
+        ),
+    )
+    ks_col = F.transform(
+        votes,
+        lambda vb: F.aggregate(
             F.zip_with(
-                votes,
-                F.sequence(F.lit(0), F.col("w") - F.lit(1)),
+                vb,
+                wseq,
                 lambda v, j: F.when(v > 0, _pow2(j)).otherwise(
                     F.lit(0).cast("long")
                 ),
             ),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
-        )
-
-    sig = base.select(
-        "doc_id",
-        F.array(*[_band_key(b) for b in range(_SRPS_BANDS)]).alias("ks"),
+        ),
     )
+    sig = base.select("doc_id", ks_col.alias("ks"))
     bands = sig.select(
         "doc_id", "ks", F.posexplode("ks").alias("band", "bk")
     )
@@ -347,18 +360,21 @@ WITH nb AS (
            generate_series(1, greatest(len(t) - 1, 1)),
            i -> array_to_string(t[i:i+1], ' '))) AS sh
   FROM toks
-), bandhash AS (
+), hexes AS (
+  SELECT doc_id, list_transform(sh, s -> md5('shs_' || s)) AS hs
+  FROM sh
+), bandwords AS (
   SELECT doc_id, u.band,
-         list_transform(sh, s -> CAST(('0x' ||
-           substr(md5('shb' || u.band || '_' || s), 1, 15)) AS BIGINT)) AS hs
-  FROM sh, unnest([0, 1, 2, 3]) AS u(band)
+         list_transform(hs, h -> CAST(('0x' ||
+           substr(h, 6 * u.band + 1, 6)) AS BIGINT)) AS ws
+  FROM hexes, unnest([0, 1, 2, 3]) AS u(band)
 ), keys AS (
   SELECT doc_id, band,
          CAST(list_sum(list_transform(generate_series(0, wb.w - 1),
-           j -> CASE WHEN list_sum(list_transform(hs,
-                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           j -> CASE WHEN list_sum(list_transform(ws,
+                  wd -> CASE WHEN (wd >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bk
-  FROM bandhash, wb
+  FROM bandwords, wb
 ), sigs AS (
   SELECT doc_id, list(bk ORDER BY band) AS ks FROM keys GROUP BY doc_id
 ), bands AS (

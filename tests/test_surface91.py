@@ -151,19 +151,17 @@ def _py_shingles2(text: str) -> set[str]:
 
 
 def _py_simhash_keys(text: str, w: int) -> list[int]:
-    keys = []
-    for b in range(4):
-        votes = [0] * w
-        for s in _py_shingles2(text):
-            h = int(
-                hashlib.md5(f"shb{b}_{s}".encode()).hexdigest()[:15], 16
-            )
+    votes = [[0] * w for _ in range(4)]
+    for s in _py_shingles2(text):
+        hexd = hashlib.md5(f"shs_{s}".encode()).hexdigest()
+        for b in range(4):
+            word = int(hexd[6 * b : 6 * b + 6], 16)
             for j in range(w):
-                votes[j] += 1 if (h >> j) & 1 else -1
-        keys.append(
-            sum(1 << j for j in range(w) if votes[j] > 0)
-        )
-    return keys
+                votes[b][j] += 1 if (word >> j) & 1 else -1
+    return [
+        sum(1 << j for j in range(w) if votes[b][j] > 0)
+        for b in range(4)
+    ]
 
 
 def test_scaled_simhash_matches_python_twin(spark, sf_oracle):
