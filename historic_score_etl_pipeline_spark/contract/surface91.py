@@ -44,9 +44,10 @@ per band or bit);
 banding explodes 4 rows/doc(vector) into a (band, key) equi-join whose
 key space scales with n; the verify step is array popcount arithmetic
 on the joined pair — never a second pass over the corpus.  Reference
-parity: the reference has no ANN/near-dup operator; this extends its
-exact URL-key dedup (flashscore-scraper main.py:118-139) to the
-embedding/text near-dup class a training-data pipeline needs.
+parity: the reference has no ANN/near-dup operator — these belong to
+the beyond-reference LLM-data-pipeline surface (SURVEY.md §2K), the
+scale-safe tier of the dedup/similarity family in operators/dedup.py
+and operators/similarity.py.
 """
 
 from __future__ import annotations
