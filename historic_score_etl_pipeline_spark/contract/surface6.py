@@ -139,7 +139,14 @@ _SSJ_SCHEMA = StructType(
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click-to-view attribution as a REAL streaming job: stage the two
     event streams as file sources, join within a 2h per-user lookback
-    under Trigger.AvailableNow, land in a memory sink."""
+    under Trigger.AvailableNow, land in a PARQUET file sink and read
+    that back.  The original memory sink collected the whole join
+    result to the driver — fine on the clean fixtures, but the r9
+    adversarial SKEW tile (one user owning ~50% of events) made the
+    per-user lookback join legitimately data-sized (~14M rows at the
+    sf0.1-sourced cell) and blew spark.driver.maxResultSize: exactly
+    the driver-sized-sink anti-pattern a 100 TB job cannot carry.  A
+    file sink keeps the result distributed end-to-end."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
     )
@@ -156,16 +163,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = stream_stream_interval_join(_stream(clicks_dir), _stream(views_dir))
-    sink = f"ssj_out_{uuid.uuid4().hex[:8]}"
+    out_dir = f"{root}/out_{uuid.uuid4().hex[:8]}"
     q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # explicit schema: an empty result leaves no part files to infer from
+    return spark.read.schema(joined.schema).parquet(out_dir)
 
 
 QUERIES: dict[str, QuerySpec] = {
