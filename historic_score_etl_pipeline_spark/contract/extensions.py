@@ -39,6 +39,7 @@ from historic_score_etl_pipeline_spark.operators.similarity import (
     cosine_near_dup,
     ivf_topk,
     ivf_topk_kmeans,
+    valid_vectors,
 )
 from historic_score_etl_pipeline_spark.operators.text import (
     LANG_MARKERS,
@@ -388,14 +389,16 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: thinned-left broadcast against the
     streamed corpus, cosine ≥ 0.35 (double math, round-4 both sides)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     return cosine_near_dup(emb, "vec_id", threshold=0.35, sample_mod=10)
 
 
 DEDUP_EMBED_COSINE_SQL = """
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
+           FROM embeddings
+           -- quarantine gate: malformed vectors excluded (similarity.py)
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
 SELECT id_a, id_b, cos4
 FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b.v), 4) AS cos4
@@ -410,7 +413,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 cosine neighbours for 3 query vectors —
     broadcast queries, zip_with/aggregate dot products, window rank.
     Scored in double with round(4) so the DuckDB float path agrees."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = brute_force_topk(emb, queries, "vec_id", "vec_id", k=5)
     return out.select(
@@ -419,9 +422,12 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_TOPK_COSINE_SQL = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+WITH ok AS (SELECT * FROM embeddings
+            -- quarantine gate: malformed vectors excluded (similarity.py)
+            WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+     q AS (SELECT vec_id AS query_id, embedding AS qvec FROM ok
            WHERE vec_id IN (0, 1, 2)),
-     c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+     c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM ok),
      scored AS (
        SELECT query_id, corpus_id,
               round(list_cosine_similarity(
@@ -448,7 +454,7 @@ def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions of the data, so the result has a full value-hash oracle
     (upgraded from rows-only in round 4 — the SQL twin replays the same
     cells, probes, and ranking)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = ivf_topk(emb, queries, "vec_id", "vec_id", k=5)
     return out.select(
@@ -460,10 +466,14 @@ def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = own cell + first (n_probe-1)=3 single-bit flips — the exact slice the
 # Spark operator takes (operators/similarity.py::ivf_topk).
 SIM_TOPK_COSINE_IVF_SQL = """
-WITH c AS (
+WITH ok AS (
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  SELECT * FROM embeddings
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+), c AS (
   SELECT vec_id AS corpus_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM embeddings
+  FROM ok
 ), ccell AS (
   SELECT corpus_id, cvec,
          (CASE WHEN cvec[1] > 0 THEN 1 ELSE 0 END
@@ -474,7 +484,7 @@ WITH c AS (
 ), q AS (
   SELECT vec_id AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-  FROM embeddings WHERE vec_id IN (0, 1, 2)
+  FROM ok WHERE vec_id IN (0, 1, 2)
 ), qcell AS (
   SELECT query_id, qvec,
          (CASE WHEN qvec[1] > 0 THEN 1 ELSE 0 END
@@ -506,7 +516,7 @@ def sim_topk_cosine_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroids, n_probe nearest-cell scan).  Approximate →
     rows-only; recall floor vs. brute force asserted in
     tests/test_similarity.py::test_ivf_kmeans_recall_beats_floor."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id").isin(0, 1, 2))
     return ivf_topk_kmeans(
         emb, queries, "vec_id", "vec_id", k=5, n_cells=8, n_probe=3

@@ -690,25 +690,64 @@ WHERE strlen(text) > 0 AND strlen(text) = length(text)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs a REAL Structured Streaming job (not a batch twin): events as a
     file stream → per-user running totals held in the state store via
-    ``applyInPandasWithState`` → AvailableNow trigger → memory sink.
-    Rows-only by necessity: streaming state emission has no ANSI-SQL twin
-    (SURVEY.md §2I-I3)."""
+    ``applyInPandasWithState`` → AvailableNow trigger → idempotent
+    PARQUET file sink (foreachBatch keyed by batch id), read back as the
+    latest emission per user.  Rows-only by necessity: streaming state
+    emission has no ANSI-SQL twin (SURVEY.md §2I-I3).
+
+    The original memory sink collected every emitted row to the DRIVER —
+    and this operator's output is per-user STATE, which grows with
+    distinct-user cardinality: billions of rows at 100 TB (VERDICT r9;
+    the same driver-sized-sink class the skew tile caught on
+    ``stream_stream_join``, surface6.py).  The file sink keeps the
+    emissions distributed; the latest-batch-wins read-back (window by
+    user, desc batch_id) reproduces update-mode semantics exactly even
+    when the source lands in multiple micro-batches
+    (tests/test_streaming.py::test_stateful_totals_file_sink_multi_batch).
+    """
+    import atexit
+    import os
+    import shutil
     import tempfile
-    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
 
     from historic_score_etl_pipeline_spark.streaming import (
         read_events_stream,
-        run_available_now,
         stateful_user_totals_stream,
+    )
+    from historic_score_etl_pipeline_spark.streaming.jobs import (
+        STATEFUL_TOTALS_OUTPUT,
+        run_foreach_batch_sink,
     )
 
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        run_available_now(
-            stateful_user_totals_stream(events), ckpt, name, "update"
-        )
-    return spark.table(name)
+    root = tempfile.mkdtemp(prefix="sst_")
+    # atexit, not inline: the returned DataFrame reads the sink lazily
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    out = f"{root}/out"
+    os.makedirs(out, exist_ok=True)  # zero-batch edge: read of empty dir
+    run_foreach_batch_sink(
+        stateful_user_totals_stream(events),
+        out,
+        f"{root}/ckpt",
+        output_mode="update",
+    )
+    # explicit schema: batch_id is the partition dir the idempotent
+    # writer keys on; an empty result leaves nothing to infer from.
+    # (fresh StructType — .add would mutate the shared constant)
+    schema = StructType(
+        list(STATEFUL_TOTALS_OUTPUT.fields)
+        + [StructField("batch_id", LongType())]
+    )
+    rows = spark.read.schema(schema).parquet(out)
+    latest = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(latest))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {

@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- exact-sums correlation matrix -------------------------------------------
 
@@ -367,7 +368,7 @@ def embed_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end is IEEE-correctly-rounded on identical integer inputs in
     both engines.  Pure projection + 2-level aggregate — no shuffle
     wider than the ≤|buckets| histogram."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     ssq = F.aggregate(
         F.slice(F.col("embedding"), 1, _NORM_PREFIX_DIMS),
         F.lit(0).cast("long"),
@@ -390,6 +391,8 @@ WITH ssq AS (
            x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6 + 0.5)
                      AS BIGINT))) AS s
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT CAST(floor(sqrt(CAST(s AS DOUBLE)) / 100.0 + 0.5) AS BIGINT)
          AS norm_decis,

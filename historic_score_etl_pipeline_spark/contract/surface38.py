@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- struct-accumulator fold over embeddings --------------------------------------
 
@@ -43,7 +44,7 @@ def hof_reduce_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix(x) = floor(x·1e6 + 0.5): the weighted sum uses transform's
     (element, index) lambda, the other two ride ONE aggregate with a
     struct accumulator."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     fx = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -81,6 +82,8 @@ WITH fx AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS f
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(n_dims AS BIGINT) AS n_dims,

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- SRP-LSH over embeddings -------------------------------------------------------
 
@@ -57,7 +58,7 @@ def _srp_sign(b, i):
 
 def embed_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SRP signatures → 4-band blocking → Hamming ≤ 3 pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     hp = spark.range(1).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(_SRP_BITS - 1)),
@@ -150,6 +151,8 @@ WITH hp AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), proj AS (
   SELECT qv.vec_id, hp.b,
          list_sum(list_transform(qv.q, (x, i) -> x * hp.signs[i])) AS s

@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.operators.multimodal import image_ahash
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- DISTINCT aggregates -----------------------------------------------------------
 
@@ -140,7 +141,7 @@ _PFX_NQ = 10
 def embed_prefix_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query (vec_id < 10): top-5 corpus neighbors by 16-dim-prefix
     integer dot vs full 64-dim dot, and the overlap size."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     fx = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -209,6 +210,8 @@ WITH fx AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          list_sum(list_transform(q.v, (x, i) -> x * c.v[i])) AS d_full,

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- manifest-driven scan ----------------------------------------------------------
 
@@ -249,12 +250,11 @@ def _pq_cent(b, c, i):
 def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ code (argmin centroid per subspace, first-min tiebreak) and
     exact integer reconstruction error per vector."""
-    # NULL embeddings excluded on BOTH engines: a NULL vector has no
-    # PQ code (Spark would render its all-NULL code array as '' via
-    # concat_ws; DuckDB keeps NULL) — adversarial-fixture sweep
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    # Malformed (NULL / NULL-element) embeddings quarantined on BOTH
+    # engines: a NULL vector has no PQ code, and a NULL ELEMENT diverges
+    # outright (DuckDB list_sum skips it, F.aggregate propagates) —
+    # similarity.py gate, adversarial-fixture sweep
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     cb = spark.range(1).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(_PQ_SUB - 1)),
@@ -336,7 +336,8 @@ WITH cb AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), d AS (
   SELECT qv.vec_id, cb.b, cb.c,
          list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}), i ->

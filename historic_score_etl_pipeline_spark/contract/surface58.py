@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.contract.surface57 import _pq_cent
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- ADC top-k over PQ codes -------------------------------------------------------
 
@@ -70,12 +71,11 @@ def _fx():
 
 def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by ADC (LUT-summed PQ distance) vs exact integer L2."""
-    # NULL embeddings excluded on BOTH engines: a NULL vector has no
-    # PQ code (Spark would render its all-NULL code array as '' via
-    # concat_ws; DuckDB keeps NULL) — adversarial-fixture sweep
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    # Malformed (NULL / NULL-element) embeddings quarantined on BOTH
+    # engines: a NULL vector has no PQ code, and a NULL ELEMENT diverges
+    # outright (DuckDB list_sum skips it, F.aggregate propagates) —
+    # similarity.py gate, adversarial-fixture sweep
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     cb = _codebook(spark)
     qs = emb.where(F.col("vec_id") < _ADC_NQ).select(
         F.col("vec_id").alias("q_id"), _fx().alias("qv")
@@ -231,7 +231,8 @@ WITH cb AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), subd AS (
   SELECT f.vec_id, cb.b, cb.c,
          list_sum(list_transform(generate_series(1, {_ADC_SUBDIM}), i ->

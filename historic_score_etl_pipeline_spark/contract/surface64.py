@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- named WINDOW clause reuse -------------------------------------------------------
 
@@ -175,12 +176,13 @@ _RC_NQ = 5
 
 def embed_metric_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman ρ between inner-product and negative-L2 rankings per
-    query — both sort keys integer-exact, ρ in exact ppm.  NULL
-    embeddings are excluded on BOTH engines: a NULL distance would rank
-    NULLS FIRST under Spark ASC but NULLS LAST under DuckDB ASC."""
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    query — both sort keys integer-exact, ρ in exact ppm.  Malformed
+    (NULL or NULL-element) embeddings are quarantined on BOTH engines
+    (similarity.py gate): un-gated, a NULL distance would rank NULLS
+    FIRST under Spark ASC but NULLS LAST under DuckDB ASC, and a NULL
+    ELEMENT diverges outright (list_sum skips it, F.aggregate
+    propagates)."""
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     fx = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -243,7 +245,8 @@ WITH fx AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          list_sum(list_transform(q.v, (x, i) -> x * c.v[i])) AS dp,

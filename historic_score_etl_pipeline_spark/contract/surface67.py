@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- concurrency duration histogram ---------------------------------------------------
 
@@ -115,7 +116,7 @@ def embed_knn_graph_octant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors per vector by exact integer dot product, blocked
     by the sign octant of the first 4 dimensions (16 buckets) — the
     kNN-graph substrate for clustering/dedup, bucket-local by design."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     q = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -162,6 +163,8 @@ WITH v AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                   AS BIGINT)) AS q
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), bv AS (
   SELECT vec_id, q,
          (CASE WHEN q[1] > 0 THEN 1 ELSE 0 END

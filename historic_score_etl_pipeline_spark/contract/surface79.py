@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
+from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
 # --- two-centroid split ---------------------------------------------------------------------
 
@@ -47,7 +48,7 @@ def embed_two_centroid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every vector to the nearer of centroids q(vec 0) / q(vec
     1) by exact integer squared distance (tie → side 0); per side count
     + inertia."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     q = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -96,6 +97,8 @@ WITH v AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                   AS BIGINT)) AS q
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), cents AS (
   SELECT max(CASE WHEN vec_id = 0 THEN q END) AS c0,
          max(CASE WHEN vec_id = 1 THEN q END) AS c1

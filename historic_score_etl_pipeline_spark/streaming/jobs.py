@@ -337,6 +337,7 @@ def run_foreach_batch_sink(
     out_path: str,
     checkpoint_dir: str,
     errors=None,
+    output_mode: str = "append",
 ) -> None:
     """Streaming → retried idempotent sink: each micro-batch lands via
     ``sinks.writer.retried_write`` keyed by the streaming batch id, so a
@@ -356,6 +357,7 @@ def run_foreach_batch_sink(
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

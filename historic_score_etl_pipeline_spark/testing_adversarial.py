@@ -149,6 +149,18 @@ def _embeddings(t: pa.Table) -> pa.Table:
         {"vec_id": KEY_BASE + 3, "embedding": [-1.0] * dim, "label": 3},
         # NULL embedding: every vector op must agree on NULL propagation
         {"vec_id": KEY_BASE + 4, "embedding": None, "label": 4},
+        # wave 4 (ADVICE r9): a single NULL ELEMENT inside an otherwise
+        # real vector — DuckDB's list_sum skips NULL elements while
+        # Spark's F.aggregate propagates them (and list_cosine_similarity
+        # errors outright), so every cross-element vector op must pin ONE
+        # semantics explicitly: the quarantine gate
+        # (operators/similarity.py::valid_vectors + VEC_VALID_SQL) drops
+        # malformed vectors on both engines; whole-NULL above can't see it
+        {
+            "vec_id": KEY_BASE + 5,
+            "embedding": [None] + first_vec[1:],
+            "label": 5,
+        },
     ]
     return _append(t, rows)
 
@@ -241,6 +253,23 @@ def _events(t: pa.Table) -> pa.Table:
                  event_type=hot_types[i % len(hot_types)],
                  value=float(i % 100) / 4.0,
                  props='{"k": %d}' % (i % 7))
+        )
+    # wave 4 (VERDICT r9 ask #1): MANY DISTINCT hot users — one event
+    # each under fresh user ids.  The wave-3 tile concentrates skew on
+    # ONE key, which a per-user-STATE sink survives by accident (one
+    # state row); this wave grows the distinct-user cardinality itself,
+    # the axis that made stream_stateful_totals' driver-memory sink
+    # user-cardinality-sized.  Distinct seconds keep (user, ts) order
+    # deterministic; ids start far above wave-1's small user domain.
+    n_users = min(t.num_rows, 50_000)
+    for i in range(n_users):
+        rows.append(
+            dict(event_id=KEY_BASE + 200_000 + i,
+                 ts=midnight + dt.timedelta(seconds=i),
+                 user_id=1_000_000 + i,
+                 event_type=hot_types[(i * 3) % len(hot_types)],
+                 value=float(i % 97) / 8.0,
+                 props='{"k": %d}' % (i % 5))
         )
     return _append(t, rows)
 

@@ -214,6 +214,60 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert multi > 0
 
 
+def test_stateful_totals_file_sink_multi_batch(spark, tmp_path):
+    """VERDICT r9 ask #1: the contract key's FILE sink (the replacement
+    for the user-cardinality-sized driver-memory sink) must reproduce
+    update-mode semantics under real multi-batch execution — exactly one
+    row per user, carrying the FINAL totals, even though users spanning
+    both micro-batches were emitted twice (latest-batch-wins read-back).
+    Staging events.parquet as a 2-file DIRECTORY makes read_events_stream
+    (maxFilesPerTrigger=1) run two genuine batches."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from historic_score_etl_pipeline_spark.contract.surface import (
+        stream_stateful_totals,
+    )
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    half = src.num_rows // 2
+    landing = tmp_path / "events.parquet"
+    landing.mkdir()
+    pq.write_table(src.slice(0, half), str(landing / "part-0.parquet"))
+    pq.write_table(src.slice(half), str(landing / "part-1.parquet"))
+
+    got = stream_stateful_totals(spark, str(tmp_path)).cache()
+    try:
+        per_user = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in got.collect()
+        }
+        from historic_score_etl_pipeline_spark.sources.catalog import load_table
+
+        expected = {
+            r["user_id"]: (r["n"], r["s"])
+            for r in load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        # one row per user (no duplicate emissions survive the read-back)
+        assert got.count() == len(per_user) == len(expected)
+        assert set(per_user) == set(expected)
+        for uid, (n, s) in expected.items():
+            gn, gs = per_user[uid]
+            assert gn == n
+            # summation order differs (per-batch state fold vs one agg)
+            assert abs(gs - s) < 1e-6 * max(1.0, abs(s))
+        # at least one user genuinely spanned both batches — otherwise
+        # this test wouldn't distinguish latest-wins from append
+        u0 = set(src.slice(0, half).column("user_id").to_pylist())
+        u1 = set(src.slice(half).column("user_id").to_pylist())
+        assert u0 & u1
+    finally:
+        got.unpersist()
+
+
 def test_incremental_dedup_stream_flags_cross_batch_duplicate(spark, tmp_path):
     """The signature-index loop end-to-end: batch 2 contains a copy of a
     batch-1 doc — the probe against the persisted index must flag it,

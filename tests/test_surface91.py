@@ -22,7 +22,9 @@ from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 
 def _width(n: int) -> int:
-    return max(4, min(24, math.ceil(math.log2(n))))
+    # integer-exact twin of srps_width: bit_length(n-1) == ceil(log2 n)
+    # for n ≥ 1, with no libm one-ulp hazard at powers of two (ADVICE r9)
+    return max(4, min(24, (max(n, 1) - 1).bit_length()))
 
 
 @lru_cache(maxsize=None)
@@ -47,11 +49,15 @@ def _py_band_keys(vec, w: int) -> list[int]:
 
 def _py_scaled_pairs(vecs: dict[int, list]) -> dict[tuple, int]:
     """Full python twin of embed_lsh_hyperplane_scaled."""
-    w = _width(len(vecs))
-    ks = {
-        vid: ([0, 0, 0, 0] if v is None else _py_band_keys(v, w))
+    # quarantine-gate twin (ADVICE r9): malformed vectors (NULL, or any
+    # NULL element) are dropped BEFORE the width count, like both engines
+    vecs = {
+        vid: v
         for vid, v in vecs.items()
+        if v is not None and all(x is not None for x in v)
     }
+    w = _width(len(vecs))
+    ks = {vid: _py_band_keys(v, w) for vid, v in vecs.items()}
     buckets: dict[tuple, list] = {}
     for vid, keys in ks.items():
         for b in range(4):
@@ -92,6 +98,11 @@ def planted_dir(tmp_path_factory, spark, sf_oracle) -> str:
         {"vec_id": 9_000_001, "embedding": list(v1), "label": 0},
         {"vec_id": 9_000_002,
          "embedding": [x * 1.01 for x in v0], "label": 0},
+        # NULL element (ADVICE r9): malformed — the quarantine gate must
+        # drop it on both engines and in the twin, NOT let it pair with
+        # its source vector
+        {"vec_id": 9_000_003,
+         "embedding": [None] + list(v1)[1:], "label": 0},
     ]
     out = str(tmp_path_factory.mktemp("planted_lsh"))
     table = pa.Table.from_pylist(
@@ -126,13 +137,17 @@ def test_scaled_lsh_matches_python_twin_with_planted_dups(
     # the planted exact duplicates MUST be recalled at hamming 0
     assert got[(0, 9_000_000)] == 0
     assert got[(1, 9_000_001)] == 0
+    # the malformed (NULL-element) plant must be quarantined entirely
+    assert not any(9_000_003 in p for p in got)
 
 
 def test_width_law_matches_python(spark):
     from pyspark.sql import functions as F
 
-    ns = [1, 2, 15, 16, 17, 500, 2000, 20_000, 200_000, 5_000_000,
-          100_000_000]
+    # exact powers of two included deliberately: the libm-log2 form this
+    # law replaced could flip ceil() by one ulp exactly there (ADVICE r9)
+    ns = [1, 2, 15, 16, 17, 500, 1024, 2000, 20_000, 65_536, 200_000,
+          1 << 20, 5_000_000, 100_000_000]
     df = spark.createDataFrame([(n,) for n in ns], "n long").select(
         "n", surface91.srps_width(F.col("n")).alias("w")
     )
@@ -194,6 +209,43 @@ def test_scaled_simhash_matches_python_twin(spark, sf_oracle):
     }
     assert got == want
     assert got  # the fixture's real near-dups must surface
+
+
+def test_width_cap_boundary(spark):
+    """Pins behavior AT the 24-bit cap (VERDICT r9 ask #6): the last
+    uncapped corpus size, the exact boundary, and corpora past it all
+    agree with the python twin, and an empty/NULL corpus count clamps to
+    the 4-bit floor instead of diverging (log2(0) crash vs NULL)."""
+    from pyspark.sql import functions as F
+
+    ns = [(1 << 23), (1 << 24) - 1, 1 << 24, (1 << 24) + 1, 1 << 30]
+    df = spark.createDataFrame([(n,) for n in ns], "n long").select(
+        "n", surface91.srps_width(F.col("n")).alias("w")
+    )
+    got = {r["n"]: r["w"] for r in df.collect()}
+    assert got == {n: _width(n) for n in ns}
+    assert got[1 << 24] == 24 and got[1 << 30] == 24  # capped
+    assert got[(1 << 24) - 1] == 24 and got[1 << 23] == 23
+    # empty / NULL corpus count → the 4-bit floor on the Spark side
+    edge = spark.createDataFrame([(0,), (None,)], "n long").select(
+        surface91.srps_width(F.col("n")).alias("w")
+    )
+    assert [r["w"] for r in edge.collect()] == [4, 4]
+
+
+def test_width_law_matches_duckdb_oracle():
+    """The oracle's width expression is the SAME integer law — checked
+    standalone so a drift between the two SQL blocks and srps_width
+    can't hide behind small-corpus clamping."""
+    import duckdb
+
+    ns = [0, 1, 2, 16, 17, 1024, 65_536, (1 << 24) - 1, 1 << 24, 1 << 30]
+    lst = ", ".join(f"{n}::BIGINT" for n in ns)
+    rows = duckdb.sql(
+        "SELECT n, GREATEST(4, LEAST(24, CAST(length(bin(GREATEST(n, 1) - 1))"
+        f" AS INTEGER))) AS w FROM (SELECT unnest([{lst}]) AS n)"
+    ).fetchall()
+    assert {n: w for n, w in rows} == {n: _width(n) for n in ns}
 
 
 def test_bucket_space_tracks_corpus():
