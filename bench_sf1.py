@@ -120,6 +120,13 @@ SF10_HEAVIES = [
     "join_asof_backward",
     "text_repetition",
     "dedup_decontaminate_13gram",
+    # round-10 (VERDICT r9 ask #5): the next tier — structurally
+    # interesting event-table shapes (all on the v2-tiled events:
+    # 100x users, fixed per-user series length)
+    "event_cooccurrence_pmi",       # distinct (user,type) co-occur join
+    "window_distinct_count",        # two sorted passes per user shuffle
+    "graph_bipartite_jaccard",      # type-type user-set overlap join
+    "event_funnel_time_bounded",    # ordered per-user step scan
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100

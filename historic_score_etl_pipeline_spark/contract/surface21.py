@@ -45,25 +45,41 @@ def _staged_jdbc_url(spark: SparkSession, sf_dir: str) -> str:
     # stale siblings are reaped on the shared deep-mtime liveness rule
     # (_staging.py — root mtime alone would reap a live Derby DB,
     # ADVICE r3)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    base = tempfile.gettempdir()
-    db_dir = os.path.join(base, f"hsep_jdbc_{tag}_{app}")
-    reap_stale_siblings(base, f"hsep_jdbc_{tag}_", os.path.basename(db_dir))
-    url = f"jdbc:derby:{db_dir};create=true"
+    # Production path: point SPARK_GRAFT_JDBC_URL at a real database
+    # SERVER and the roundtrip runs fully distributed (each write/read
+    # task opens its own client connection).  The embedded-Derby default
+    # below is a single-JVM test double ONLY: write tasks from two
+    # executor JVMs race the boot lock (XSDB6 — caught by the r10
+    # 2-worker standalone-cluster parity cell), so off local mode
+    # without a server URL we fail loudly rather than flake.
+    url = os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if url is None:
+        if not spark.sparkContext.master.startswith("local"):
+            raise RuntimeError(
+                "scan_jdbc_roundtrip requires a database SERVER off "
+                "local mode (embedded Derby is single-JVM; executor "
+                "JVMs race the boot lock) — set SPARK_GRAFT_JDBC_URL "
+                "to a server url"
+            )
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        app = spark.sparkContext.applicationId
+        base = tempfile.gettempdir()
+        db_dir = os.path.join(base, f"hsep_jdbc_{tag}_{app}")
+        reap_stale_siblings(
+            base, f"hsep_jdbc_{tag}_", os.path.basename(db_dir)
+        )
+        url = f"jdbc:derby:{db_dir};create=true"
     df = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < _JDBC_KEY_CAP)
         .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
     )
-    (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", "orders_stage")
-        .option("driver", _DERBY_DRIVER)
-        .mode("overwrite")
-        .save()
+    w = df.write.format("jdbc").option("url", url).option(
+        "dbtable", "orders_stage"
     )
+    if url.startswith("jdbc:derby:"):
+        w = w.option("driver", _DERBY_DRIVER)
+    w.mode("overwrite").save()
     return url
 
 
@@ -79,18 +95,19 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     url = _staged_jdbc_url(spark, sf_dir)
-    back = (
+    r = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", "orders_stage")
-        .option("driver", _DERBY_DRIVER)
         # the scale knobs, exercised for real (4 range-partitioned reads):
         .option("partitionColumn", "o_orderkey")
         .option("lowerBound", "0")
         .option("upperBound", str(_JDBC_KEY_CAP))
         .option("numPartitions", "4")
-        .load()
     )
+    if url.startswith("jdbc:derby:"):
+        r = r.option("driver", _DERBY_DRIVER)
+    back = r.load()
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         decimal_sum_double("o_totalprice").alias("sum_price"),

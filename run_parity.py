@@ -44,6 +44,83 @@ def _hostile_spark():
     )
 
 
+def _cluster_spark():
+    """Session against a REAL 2-worker standalone cluster (VERDICT r9
+    ask #3) — the first multi-PROCESS execution axis: separate executor
+    JVMs, real RPC, no driver-JVM shortcuts for broadcast/state/temp
+    files.  Start the cluster with::
+
+        SPARK_LOG_DIR=/tmp/spark-cluster-logs SPARK_PID_DIR=/tmp/spark-cluster-pids \\
+        SPARK_MASTER_WEBUI_PORT=0 /opt/spark/sbin/start-master.sh --host 127.0.0.1 --port 7077
+        SPARK_WORKER_WEBUI_PORT=8081 SPARK_WORKER_INSTANCES=2 \\
+        /opt/spark/sbin/start-worker.sh spark://127.0.0.1:7077 \\
+            --cores 4 --memory 6g --host 127.0.0.1
+
+    Both workers run on this host, so the filesystem is genuinely shared
+    — SPARK_GRAFT_SHARED_FS=1 tells staging code (surface76) that
+    executor-side open() lands on a shared mount, the documented
+    production path."""
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ["SPARK_GRAFT_SHARED_FS"] = "1"
+    url = os.environ.get("SPARK_GRAFT_CLUSTER_URL", "spark://127.0.0.1:7077")
+    return (
+        SparkSession.builder.master(url)
+        .appName("parity-cluster")
+        .config("spark.cores.max", "8")
+        .config("spark.executor.memory", "4g")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _cluster_names() -> list[str]:
+    """Targeted slice for the cluster cell: every key whose
+    implementation stages files, streams, or round-trips JDBC — the
+    shapes most likely to hide a driver-local assumption — plus 20
+    md5-ordered others for breadth.  Derived from source, so new
+    staging/streaming keys join the slice automatically."""
+    import hashlib
+    import inspect
+
+    from historic_score_etl_pipeline_spark.contract import queries
+
+    qs = queries()
+    markers = (
+        "tempfile", "app_scoped_dir", "readStream", "writeStream",
+        "run_available_now", "run_foreach_batch_sink", "jdbc",
+        "_staged", "TemporaryDirectory",
+    )
+    # scan_jdbc_roundtrip is excluded unless a real database SERVER is
+    # configured: its embedded-Derby default is a single-JVM test double
+    # (executor JVMs race the boot lock — the r10 cluster cell's first
+    # real catch; surface21.py now asserts this loudly off local mode).
+    skip = set()
+    if not os.environ.get("SPARK_GRAFT_JDBC_URL"):
+        skip.add("scan_jdbc_roundtrip")
+    picked = []
+    for name, fn in qs.items():
+        if name in skip:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+        if any(m in src for m in markers):
+            picked.append(name)
+    rest = sorted(
+        (n for n in qs if n not in picked and n not in skip),
+        key=lambda n: hashlib.md5(f"cluster_r10_{n}".encode()).hexdigest(),
+    )
+    return sorted(picked) + rest[:20]
+
+
 def _adversarial_dir() -> str:
     """Build the perturbed fixture (rebuilt per invocation — ~1 s at
     sf0.001) into a PER-PROCESS temp dir.  A shared path raced exactly
@@ -73,9 +150,14 @@ def main() -> int:
     args = sys.argv[1:]
     hostile = "--hostile" in args
     adversarial = "--adversarial" in args
+    cluster = "--cluster" in args
     names = [a for a in args if not a.startswith("--")] or None
+    if cluster and names is None:
+        names = _cluster_names()
     sf_dir = _adversarial_dir() if adversarial else SF_DIR
-    if hostile:
+    if cluster:
+        spark = _cluster_spark()
+    elif hostile:
         spark = _hostile_spark()
     else:
         from historic_score_etl_pipeline_spark.session import get_spark
@@ -88,6 +170,8 @@ def main() -> int:
         print(r)
         n_fail += 0 if r.ok else 1
     mode = " (hostile session)" if hostile else ""
+    if cluster:
+        mode += " (2-worker standalone cluster)"
     if adversarial:
         mode += " (adversarial fixture)"
     print(f"\n{len(results) - n_fail}/{len(results)} parity checks passed{mode}")
