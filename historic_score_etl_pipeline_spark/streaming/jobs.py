@@ -375,7 +375,14 @@ def run_available_now(
     (exactly-once via checkpoint; resuming after a crash re-reads only
     unprocessed files, replacing the reference's parked-frame salvage).
     Aggregation streams use ``output_mode='complete'``; row streams use
-    the default append."""
+    the default append.
+
+    MEMORY SINK — callers must prove their result is BOUNDED (collected
+    to the driver): fine for window×type aggregates over a closed enum,
+    fatal for anything data- or key-cardinality-sized.  Per-user state
+    (``stream_stateful_totals``) and join results (``stream_stream_join``)
+    both outgrew it — those run through ``run_foreach_batch_sink`` into
+    parquet instead (VERDICT r9/r10)."""
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
