@@ -104,7 +104,15 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def agg_pivot_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-key activity pivot (app/team_utilities.py:284-286) with
-    explicit pivot values — no distinct-values pre-job, static plan."""
+    explicit pivot values — no distinct-values pre-job, static plan.
+
+    Empty-cell semantics PINNED to '' (the reference's fixed-key dict
+    holds an empty list, not an absence): Spark's pivot with explicit
+    values aggregates ZERO rows for a missing (user, type) cell —
+    collect_list → [] → array_join → '' — while DuckDB's FILTER list()
+    is NULL there; the oracle coalesces to match.  Latent until the r10
+    adversarial many-distinct-users wave added users with exactly ONE
+    event type (every earlier user had all five)."""
     ev = load_table(spark, sf_dir, "events")
     return pivot_collect_csv(
         ev, "user_id", "event_type", _EVENT_TYPES, "event_id"
@@ -113,11 +121,11 @@ def agg_pivot_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_PIVOT_ACTIVITY_SQL = """
 SELECT user_id,
-       array_to_string(list_sort(list(event_id) FILTER (event_type = 'click')), ',') AS click_ids,
-       array_to_string(list_sort(list(event_id) FILTER (event_type = 'error')), ',') AS error_ids,
-       array_to_string(list_sort(list(event_id) FILTER (event_type = 'purchase')), ',') AS purchase_ids,
-       array_to_string(list_sort(list(event_id) FILTER (event_type = 'signup')), ',') AS signup_ids,
-       array_to_string(list_sort(list(event_id) FILTER (event_type = 'view')), ',') AS view_ids
+       COALESCE(array_to_string(list_sort(list(event_id) FILTER (event_type = 'click')), ','), '') AS click_ids,
+       COALESCE(array_to_string(list_sort(list(event_id) FILTER (event_type = 'error')), ','), '') AS error_ids,
+       COALESCE(array_to_string(list_sort(list(event_id) FILTER (event_type = 'purchase')), ','), '') AS purchase_ids,
+       COALESCE(array_to_string(list_sort(list(event_id) FILTER (event_type = 'signup')), ','), '') AS signup_ids,
+       COALESCE(array_to_string(list_sort(list(event_id) FILTER (event_type = 'view')), ','), '') AS view_ids
 FROM events GROUP BY user_id
 """
 

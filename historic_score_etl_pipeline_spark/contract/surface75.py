@@ -47,7 +47,15 @@ _RECALL_NQ = 10
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # quarantine gate (similarity.py policy): a NULL-ELEMENT vector's
+    # brute-force dot is NULL in Spark (ranks last) but a near-full sum
+    # in DuckDB (list_sum skips the element, ranks FIRST for its exact-
+    # duplicate probe) — caught by the r10 adversarial NULL-element row
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        valid_vectors,
+    )
+
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     q = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
@@ -123,6 +131,8 @@ WITH v AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                   AS BIGINT)) AS q
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded (similarity.py)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), bv AS (
   SELECT vec_id, q,
          (CASE WHEN q[1] > 0 THEN 1 ELSE 0 END
