@@ -127,6 +127,26 @@ SF10_HEAVIES = [
     "window_distinct_count",        # two sorted passes per user shuffle
     "graph_bipartite_jaccard",      # type-type user-set overlap join
     "event_funnel_time_bounded",    # ordered per-user step scan
+    # round-10 batch 2: every remaining headline query whose tables the
+    # replica tiles (lineitem/documents/events/embeddings) — closing the
+    # second-decade coverage gap for the cheap tier.  Keys that join
+    # through UNTILED dims (orders/part/supplier/customer copies) are
+    # excluded: tiled fact keys wouldn't match the un-tiled dim, so the
+    # measured work would silently shrink to 1/100th and the exponent
+    # would be fiction.
+    "agg_sum_avg",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_cosine",
+    "sessionize_batch",
+    "text_quality_score",
+    "text_zipf_slope",
+    "anomaly_zscore_rolling",
+    "text_rake_phrases",
+    "agg_countmin_sketch",
+    "event_stickiness_dau_wau",
+    "dedup_latest_snapshot",
+    "shuffle_shard_pos",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100

@@ -90,6 +90,9 @@ WITH v AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                   AS BIGINT)) AS q
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded, matching the gated
+  -- _quantized corpus both keys share (similarity.py policy)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), bv AS (
   SELECT vec_id, label, q,
          (CASE WHEN q[1] > 0 THEN 1 ELSE 0 END
@@ -166,6 +169,9 @@ WITH v AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                   AS BIGINT)) AS q
   FROM embeddings
+  -- quarantine gate: malformed vectors excluded, matching the gated
+  -- _quantized corpus both keys share (similarity.py policy)
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ), bv AS (
   SELECT vec_id, label, q,
          (CASE WHEN q[1] > 0 THEN 1 ELSE 0 END
