@@ -62,3 +62,47 @@ def test_ivf_kmeans_recall_beats_floor(spark):
     approx_pairs = {(r.query_id, r.corpus_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.6, f"kmeans-IVF recall too low: {recall}"
+
+
+def test_valid_vectors_gate_agrees_with_sql_twin(spark):
+    """The quarantine-gate law (r10): valid_vectors and VEC_VALID_SQL
+    keep/drop the SAME rows for every malformed shape — NULL vector,
+    whole-NULL-element, one-NULL-element, empty vector, clean vector.
+    The two expressions live in different engines; this pins that they
+    can never drift on an edge shape."""
+    import duckdb
+    import pyarrow as pa
+
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        VEC_VALID_SQL,
+        valid_vectors,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),        # clean — kept
+        (2, None),              # whole-NULL — dropped
+        (3, [None, 2.0]),       # leading NULL element — dropped
+        (4, [1.0, None]),       # trailing NULL element — dropped
+        (5, []),                # empty vector — kept (no NULL in it)
+        (6, [0.0, 0.0]),        # zero vector — kept (zeros are values)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got_spark = sorted(
+        r["vec_id"] for r in valid_vectors(df).select("vec_id").collect()
+    )
+    tbl = pa.Table.from_pylist(
+        [{"vec_id": i, "embedding": v} for i, v in rows],
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+        ),
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    pred = VEC_VALID_SQL.format(col="embedding")
+    got_sql = sorted(
+        r[0]
+        for r in con.sql(f"SELECT vec_id FROM t WHERE {pred}").fetchall()
+    )
+    assert got_spark == got_sql == [1, 5, 6]
