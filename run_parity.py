@@ -60,14 +60,16 @@ def _cluster_spark():
     — SPARK_GRAFT_SHARED_FS=1 tells staging code (surface76) that
     executor-side open() lands on a shared mount, the documented
     production path."""
+    import shutil
     import sys
+    import tempfile
 
     from pyspark.sql import SparkSession
 
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     os.environ["SPARK_GRAFT_SHARED_FS"] = "1"
     url = os.environ.get("SPARK_GRAFT_CLUSTER_URL", "spark://127.0.0.1:7077")
-    return (
+    spark = (
         SparkSession.builder.master(url)
         .appName("parity-cluster")
         .config("spark.cores.max", "8")
@@ -78,6 +80,27 @@ def _cluster_spark():
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # Ship the engine to the executors the way a real deployment does
+    # (spark-submit --py-files): executor Python workers deserialize UDF
+    # closures that import this package, and their sys.path knows
+    # nothing of the driver's checkout — the FULL-registry cluster run
+    # failed all 20 codec/UDF keys with ModuleNotFoundError until the
+    # code was shipped (the r10 cluster cell's second real catch; local
+    # mode can never see it because every task shares the driver's
+    # interpreter).
+    import historic_score_etl_pipeline_spark as _pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(_pkg.__file__))
+    zip_base = os.path.join(
+        tempfile.mkdtemp(prefix="hsep_pyfiles_"), "hsep_engine"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    return spark
 
 
 def _cluster_names() -> list[str]:
