@@ -149,9 +149,7 @@ SF10_HEAVIES = [
     # replica (orders/customer/part now tiled with the SAME strides the
     # facts use, so join keys keep matching; supplier/region/nation stay
     # 1× — their keys are never strided, and fixed-dim⋈growing-fact is
-    # how real warehouses scale).  parse_token_records stays excluded:
-    # it joins token-PARSED part keys, which the replica's per-copy
-    # token suffix deliberately mangles.
+    # how real warehouses scale).
     "agg_collect_struct",
     "join_hash_equi",
     "join_multi_hop",
@@ -166,12 +164,51 @@ SF10_HEAVIES = [
     "join_spatial_grid",
     "parse_token_records_h2h",
     "text_pack_shards",
+    # round-11 (VERDICT r10 ask #2): parse_token_records was excluded
+    # with a stale rationale ("joins token-parsed part keys" — it does
+    # not; it is a pure posexplode div/mod pivot over documents'
+    # first-12 tokens, surface.py:254, no join anywhere).  The per-copy
+    # token suffix only lengthens tokens, which the positional parser is
+    # indifferent to — same fixture class as parse_token_records_h2h,
+    # which has been measured since r8.
+    "parse_token_records",
 ]
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
 
 STRIDE_EVENT = 10_000_000
 STRIDE_USER = 100_000
+
+# ADVICE r10: the tiling silently assumes every source key stays below
+# its stride — if SRC is ever regenerated at a larger scale the
+# key-shifted copies overlap, join fan-out multiplies, and every timing
+# and exponent derived from the replica is corrupted with no error.
+# One DuckDB max() per (table, key) fails the build loudly instead.
+_STRIDE_CHECKS: list[tuple[str, str, int]] = [
+    ("orders", "o_orderkey", STRIDE_ORDER),
+    ("orders", "o_custkey", STRIDE_CUST),
+    ("lineitem", "l_orderkey", STRIDE_ORDER),
+    ("lineitem", "l_partkey", STRIDE_PART),
+    ("customer", "c_custkey", STRIDE_CUST),
+    ("part", "p_partkey", STRIDE_PART),
+    ("documents", "doc_id", STRIDE_DOC),
+    ("events", "event_id", STRIDE_EVENT),
+    ("events", "user_id", STRIDE_USER),
+]
+
+
+def _assert_strides(con, vec_stride: int) -> None:
+    checks = _STRIDE_CHECKS + [("embeddings", "vec_id", vec_stride)]
+    for table, col, stride in checks:
+        mx = con.execute(
+            f"SELECT max({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+        ).fetchone()[0]
+        if mx is not None and int(mx) >= stride:
+            raise RuntimeError(
+                f"replica stride overflow: max({table}.{col}) = {mx} >= "
+                f"stride {stride} — SRC grew; raise the strides before "
+                "trusting any replica timing"
+            )
 
 
 def build_sf1() -> None:
@@ -183,6 +220,7 @@ def build_sf1() -> None:
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    _assert_strides(con, vec_stride=10_000)
 
     def tile(table: str, select_tpl: str) -> None:
         parts = [
@@ -269,6 +307,7 @@ def build_sf10() -> None:
     shutil.rmtree(OUT10, ignore_errors=True)
     os.makedirs(OUT10, exist_ok=True)
     con = duckdb.connect()
+    _assert_strides(con, vec_stride=1_000_000)
 
     def tile(table: str, select_tpl: str) -> None:
         parts = [

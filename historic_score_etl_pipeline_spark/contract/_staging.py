@@ -154,3 +154,23 @@ def app_scoped_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     out = os.path.join(base, f"hsep_{kind}_stage_{tag}_{app}")
     reap_stale_siblings(base, f"hsep_{kind}_stage_{tag}_", os.path.basename(out))
     return out
+
+
+def app_scoped_stream_root(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Per-(query, scale, application) root for streaming file sinks.
+
+    Repeated invocations in one long-lived process (notebook, repeated
+    parity loops) previously accumulated one ``mkdtemp`` tree plus one
+    atexit handler each (ADVICE r10) — this reuses a single app-scoped
+    tree per query instead, wiped on entry so every invocation re-runs
+    the stream from a clean checkpoint, deterministically.  Trees from
+    dead applications are reaped on the shared deep-mtime rule;
+    concurrent sessions never collide (applicationId is unique)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = tempfile.gettempdir()
+    root = os.path.join(base, f"hsep_{kind}_{tag}_{app}")
+    reap_stale_siblings(base, f"hsep_{kind}_{tag}_", os.path.basename(root))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root

@@ -705,14 +705,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the source lands in multiple micro-batches
     (tests/test_streaming.py::test_stateful_totals_file_sink_multi_batch).
     """
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
+    from historic_score_etl_pipeline_spark.contract._staging import (
+        app_scoped_stream_root,
+    )
     from historic_score_etl_pipeline_spark.streaming import (
         read_events_stream,
         stateful_user_totals_stream,
@@ -723,9 +723,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    root = tempfile.mkdtemp(prefix="sst_")
-    # atexit, not inline: the returned DataFrame reads the sink lazily
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # app-scoped + wiped-on-entry: repeated invocations in one process
+    # overwrite one tree instead of accumulating mkdtemp dirs + atexit
+    # handlers (ADVICE r10); stale trees of dead apps are reaped inside.
+    root = app_scoped_stream_root(spark, "sst", sf_dir)
     out = f"{root}/out"
     os.makedirs(out, exist_ok=True)  # zero-batch edge: read of empty dir
     run_foreach_batch_sink(

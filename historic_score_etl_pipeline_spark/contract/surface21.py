@@ -29,6 +29,22 @@ _DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 _JDBC_KEY_CAP = 3000  # deterministic subset (filter, never limit)
 
 
+def _stage_table(spark: SparkSession, url: str) -> str:
+    """Staging table name for the JDBC round-trip.
+
+    Embedded Derby is already app-scoped via the database DIRECTORY, so
+    the plain name is safe there.  On a shared database SERVER
+    (SPARK_GRAFT_JDBC_URL) a fixed name + mode=overwrite means two
+    concurrent runs clobber each other (ADVICE r10) — suffix with the
+    Spark applicationId so each app writes its own table."""
+    if url.startswith("jdbc:derby:"):
+        return "orders_stage"
+    import re
+
+    app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    return f"orders_stage_{app}"
+
+
 def _staged_jdbc_url(spark: SparkSession, sf_dir: str) -> str:
     """Stage a deterministic orders subset into an embedded Derby DB
     (idempotent: mode=overwrite drops and recreates the table)."""
@@ -75,7 +91,7 @@ def _staged_jdbc_url(spark: SparkSession, sf_dir: str) -> str:
         .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
     )
     w = df.write.format("jdbc").option("url", url).option(
-        "dbtable", "orders_stage"
+        "dbtable", _stage_table(spark, url)
     )
     if url.startswith("jdbc:derby:"):
         w = w.option("driver", _DERBY_DRIVER)
@@ -98,7 +114,7 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("dbtable", "orders_stage")
+        .option("dbtable", _stage_table(spark, url))
         # the scale knobs, exercised for real (4 range-partitioned reads):
         .option("partitionColumn", "o_orderkey")
         .option("lowerBound", "0")

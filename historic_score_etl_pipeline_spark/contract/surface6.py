@@ -147,17 +147,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1-sourced cell) and blew spark.driver.maxResultSize: exactly
     the driver-sized-sink anti-pattern a 100 TB job cannot carry.  A
     file sink keeps the result distributed end-to-end."""
-    import atexit
-    import shutil
+    from historic_score_etl_pipeline_spark.contract._staging import (
+        app_scoped_stream_root,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="ssj_")
-    # ADVICE r9: the staged streams + file-sink output (~14M rows at the
-    # skew cell) accumulated per invocation; atexit (not inline) because
-    # the returned DataFrame reads the sink dir lazily after we return.
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # ADVICE r9/r10: app-scoped + wiped-on-entry — one tree per query
+    # per app (repeated invocations overwrite it), instead of one
+    # mkdtemp tree + one atexit handler per invocation; stale trees of
+    # dead apps are reaped inside the helper.
+    root = app_scoped_stream_root(spark, "ssj", sf_dir)
     clicks_dir, views_dir = f"{root}/clicks", f"{root}/views"
     ev.where(F.col("event_type") == "click").write.parquet(clicks_dir)
     ev.where(F.col("event_type") == "view").write.parquet(views_dir)

