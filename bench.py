@@ -90,7 +90,30 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="bench")
+    # --cluster: same headline queries against the 2-worker standalone
+    # cluster (VERDICT r10 ask #4) — prices real executor RPC, wire
+    # broadcast, file shuffle, and per-executor Python workers that
+    # local[32] silently shortcuts.  Start the workers with --cores 16
+    # --memory 30g so total cores match the local baseline (recipe in
+    # testing_cluster.py).  --only=k1,k2 benches a subset.
+    cluster = "--cluster" in sys.argv[1:]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    if cluster:
+        from historic_score_etl_pipeline_spark.testing_cluster import (
+            cluster_spark,
+        )
+
+        spark = cluster_spark(
+            app_name="bench-cluster",
+            cores_max=32,
+            executor_memory="24g",
+            shuffle_partitions=32,
+        )
+    else:
+        spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Silence the benign post-execution accumulator race (BENCH_r05 tail,
     # reproduced r6: ~400 "Failed to update accumulator (Unknown class)"
@@ -126,13 +149,14 @@ def main() -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 
     qs = contract.queries()
+    names = only if only else HEADLINE
     # Warmup (untimed): run every headline query once at the smallest SF.
     # Identical expression trees → whole-stage codegen is compiled and
     # JIT-warmed before the timed pass; standard steady-state benching.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in names:
         try:
             _force(qs[name](spark, warm_dir))
         except Exception:
@@ -163,16 +187,19 @@ def main() -> None:
             return {"err": f"{type(exc).__name__}: {str(exc)[:300]}"}
         return round(best, 3)
 
-    for name in HEADLINE:
+    for name in names:
         timings[name] = _timed(lambda: qs[name](spark, sf_dir))
     timings["flagship"] = _timed(lambda: flagship_pipeline(spark, sf_dir))
 
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
     total = round(sum(ok), 3)
+    metric = "headline_queries_wall_clock"
+    if cluster:
+        metric += "_cluster"
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall_clock",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

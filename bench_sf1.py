@@ -176,6 +176,26 @@ SF10_HEAVIES = [
 OUT10 = os.path.join(tempfile.gettempdir(), "hsep_sf10")
 COPIES10 = 100
 
+# round-11 (VERDICT r10 ask #5): a THIRD decade (sf10 → sf100) for the
+# cheapest sublinear heavies.  The banding saturation taught that one
+# decade can flatter; the sf100 replica tiles the sf10 replica 10× for
+# ONLY the tables these two touch (documents for dedup_exact, events
+# for join_asof_lastn) — anything heavier would not fit the sandbox's
+# time budget, and these two are the designated canaries (0.87 s and
+# 0.99 s at sf10).  Every other table is the sf0.1 copy so the catalog
+# stays complete.  --sf100 measures sf10 → sf100.
+SF100_HEAVIES = [
+    "dedup_exact",      # documents: 10M docs, re-suffixed per mega-copy
+    "join_asof_lastn",  # events: 100M rows, 10× user populations
+]
+OUT100 = os.path.join(tempfile.gettempdir(), "hsep_sf100")
+COPIES100 = 10  # × the sf10 replica
+# mega-strides: one clean decimal past the sf10 maxima (doc_id < 1e6,
+# event_id < 1e9, user_id < 1e7 — asserted at build time)
+STRIDE_DOC100 = 1_000_000
+STRIDE_EVENT100 = 1_000_000_000
+STRIDE_USER100 = 10_000_000
+
 STRIDE_EVENT = 10_000_000
 STRIDE_USER = 100_000
 
@@ -399,6 +419,80 @@ def build_sf10() -> None:
         f.write("ok")
 
 
+def build_sf100() -> None:
+    """Tile the sf10 replica 10× for the SF100_HEAVIES' tables only.
+
+    documents: doc_id mega-strided AND every token RE-suffixed with the
+    mega-copy index, so exact-dup fingerprint GROUPS scale in count — a
+    plain id-shift would ×10 every group's size but freeze the group
+    count, an easier aggregation shape than real corpus growth.
+    events: (event_id, user_id) mega-strided → 10× user populations
+    with fixed per-user series length, the realistic growth shape the
+    sf1/sf10 replicas already use."""
+    import duckdb
+
+    marker = os.path.join(OUT100, "_BUILT_v1")
+    if os.path.exists(marker):
+        return
+    build_sf10()
+    shutil.rmtree(OUT100, ignore_errors=True)
+    os.makedirs(OUT100, exist_ok=True)
+    con = duckdb.connect()
+    # same loud-overflow rule as _assert_strides, against the sf10 maxima
+    for table, col, stride in (
+        ("documents", "doc_id", STRIDE_DOC100),
+        ("events", "event_id", STRIDE_EVENT100),
+        ("events", "user_id", STRIDE_USER100),
+    ):
+        mx = con.execute(
+            f"SELECT max({col}) FROM read_parquet('{OUT10}/{table}.parquet')"
+        ).fetchone()[0]
+        if mx is not None and int(mx) >= stride:
+            raise RuntimeError(
+                f"sf100 stride overflow: max(sf10 {table}.{col}) = {mx} "
+                f">= {stride}"
+            )
+
+    def tile(table: str, select_tpl: str, strides: dict[str, int]) -> None:
+        # offsets precomputed in Python: j * 1e9 as a DuckDB expression
+        # multiplies two INT32 literals and overflows; a single big
+        # literal parses as INT64
+        parts = [
+            select_tpl.format(
+                j=j,
+                src=f"read_parquet('{OUT10}/{table}.parquet')",
+                **{k: j * s for k, s in strides.items()},
+            )
+            for j in range(COPIES100)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) "
+            f"TO '{OUT100}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    tile(
+        "documents",
+        "SELECT doc_id + {doc_off} AS doc_id, "
+        "regexp_replace(text, '(\\S+)', '\\1y{j}', 'g') AS text, "
+        "lang, source, n_chars FROM {src}",
+        {"doc_off": STRIDE_DOC100},
+    )
+    tile(
+        "events",
+        "SELECT event_id + {ev_off} AS event_id, ts, "
+        "user_id + {user_off} AS user_id, "
+        "event_type, value, props FROM {src}",
+        {"ev_off": STRIDE_EVENT100, "user_off": STRIDE_USER100},
+    )
+    for table in (
+        "region", "nation", "supplier", "customer", "orders",
+        "lineitem", "part", "embeddings",
+    ):
+        shutil.copyfile(f"{SRC}/{table}.parquet", f"{OUT100}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 def run_set(
     spark, sf_dir: str, qs, flagship, names=None
 ) -> dict[str, float]:
@@ -435,6 +529,7 @@ def run_set(
 
 def main() -> None:
     sf10_mode = "--sf10" in sys.argv[1:]
+    sf100_mode = "--sf100" in sys.argv[1:]
     # --only=k1,k2 measures a subset (new keys / re-measurements) without
     # paying for the full heavy list (pagerank alone is ~240 s at sf10)
     only = None
@@ -444,6 +539,8 @@ def main() -> None:
     build_sf1()
     if sf10_mode:
         build_sf10()
+    if sf100_mode:
+        build_sf100()
 
     from historic_score_etl_pipeline_spark import contract
     from historic_score_etl_pipeline_spark.plans.flagship import (
@@ -470,13 +567,50 @@ def main() -> None:
     qs = contract.queries()
     # warmup at the smallest SF: compile codegen before any timed pass
     warm = "/root/testdata/sf0.001"
-    for name in only if only else HEAVIES:
+    default_names = (
+        SF100_HEAVIES if sf100_mode else SF10_HEAVIES if sf10_mode else HEAVIES
+    )
+    for name in only if only else default_names:
         try:
             qs[name](spark, warm).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception:
             pass
+
+    if sf100_mode:
+        # third decade: sf10 -> sf100.  512 reduce partitions — the same
+        # rows-per-task the sf10 run holds at 256, scaled with the data
+        # (a cluster would add executors; local mode can only add
+        # partitions so per-task state stays spillable).
+        spark.conf.set("spark.sql.shuffle.partitions", "512")
+        names100 = only if only else SF100_HEAVIES
+        t10 = run_set(spark, OUT10, qs, None, names100)
+        t100 = run_set(spark, OUT100, qs, None, names100)
+        exp = {
+            k: round(
+                math.log10(max(t100[k], 1e-3) / max(t10[k], 1e-3)), 3
+            )
+            for k in t10
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "sf100_scaling",
+                    "copies": COPIES100 * COPIES10,
+                    "conf": {
+                        "driver_mem": os.environ.get(
+                            "SPARK_DRIVER_MEM", "8g"
+                        ),
+                        "shuffle_partitions": 512,
+                    },
+                    "sf10": t10,
+                    "sf100": t100,
+                    "exponent": exp,
+                }
+            )
+        )
+        return
 
     if sf10_mode:
         # Scale the *session* with the data the way a cluster would:

@@ -45,62 +45,15 @@ def _hostile_spark():
 
 
 def _cluster_spark():
-    """Session against a REAL 2-worker standalone cluster (VERDICT r9
-    ask #3) — the first multi-PROCESS execution axis: separate executor
-    JVMs, real RPC, no driver-JVM shortcuts for broadcast/state/temp
-    files.  Start the cluster with::
-
-        SPARK_LOG_DIR=/tmp/spark-cluster-logs SPARK_PID_DIR=/tmp/spark-cluster-pids \\
-        SPARK_MASTER_WEBUI_PORT=0 /opt/spark/sbin/start-master.sh --host 127.0.0.1 --port 7077
-        SPARK_WORKER_WEBUI_PORT=8081 SPARK_WORKER_INSTANCES=2 \\
-        /opt/spark/sbin/start-worker.sh spark://127.0.0.1:7077 \\
-            --cores 4 --memory 6g --host 127.0.0.1
-
-    Both workers run on this host, so the filesystem is genuinely shared
-    — SPARK_GRAFT_SHARED_FS=1 tells staging code (surface76) that
-    executor-side open() lands on a shared mount, the documented
-    production path."""
-    import shutil
-    import sys
-    import tempfile
-
-    from pyspark.sql import SparkSession
-
-    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
-    os.environ["SPARK_GRAFT_SHARED_FS"] = "1"
-    url = os.environ.get("SPARK_GRAFT_CLUSTER_URL", "spark://127.0.0.1:7077")
-    spark = (
-        SparkSession.builder.master(url)
-        .appName("parity-cluster")
-        .config("spark.cores.max", "8")
-        .config("spark.executor.memory", "4g")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    """Session against a REAL 2-worker standalone cluster — start
+    commands, pitfalls, and the addPyFile rationale live in
+    ``historic_score_etl_pipeline_spark.testing_cluster`` (shared with
+    ``bench.py --cluster`` since r11)."""
+    from historic_score_etl_pipeline_spark.testing_cluster import (
+        cluster_spark,
     )
-    # Ship the engine to the executors the way a real deployment does
-    # (spark-submit --py-files): executor Python workers deserialize UDF
-    # closures that import this package, and their sys.path knows
-    # nothing of the driver's checkout — the FULL-registry cluster run
-    # failed all 20 codec/UDF keys with ModuleNotFoundError until the
-    # code was shipped (the r10 cluster cell's second real catch; local
-    # mode can never see it because every task shares the driver's
-    # interpreter).
-    import historic_score_etl_pipeline_spark as _pkg
 
-    pkg_dir = os.path.dirname(os.path.abspath(_pkg.__file__))
-    zip_base = os.path.join(
-        tempfile.mkdtemp(prefix="hsep_pyfiles_"), "hsep_engine"
-    )
-    zip_path = shutil.make_archive(
-        zip_base, "zip",
-        root_dir=os.path.dirname(pkg_dir),
-        base_dir=os.path.basename(pkg_dir),
-    )
-    spark.sparkContext.addPyFile(zip_path)
-    return spark
+    return cluster_spark(app_name="parity-cluster")
 
 
 def _cluster_names() -> list[str]:
@@ -116,7 +69,8 @@ def _cluster_names() -> list[str]:
 
     qs = queries()
     markers = (
-        "tempfile", "app_scoped_dir", "readStream", "writeStream",
+        "tempfile", "app_scoped_dir", "app_scoped_stream_root",
+        "readStream", "writeStream",
         "run_available_now", "run_foreach_batch_sink", "jdbc",
         "_staged", "TemporaryDirectory",
     )
