@@ -187,6 +187,21 @@ COPIES10 = 100
 SF100_HEAVIES = [
     "dedup_exact",      # documents: 10M docs, re-suffixed per mega-copy
     "join_asof_lastn",  # events: 100M rows, 10× user populations
+    # round-11 widening: every headline key that touches ONLY the two
+    # tables the sf100 replica tiles (verified via load_table grep) and
+    # costs ≲1 s at sf10 — a three-decade table for the text/event
+    # families, not just the two canaries.  parse_token_records is
+    # admitted for the same reason as sf10: the mega-copy re-suffix only
+    # lengthens tokens and the positional parser is indifferent.
+    "text_quality_score",          # per-char compute, 1.00 at decade 2
+    "text_token_entropy",
+    "text_repetition",
+    "dedup_contamination",
+    "dedup_decontaminate_13gram",  # gram-linear by construction (0.99)
+    "parse_token_records",
+    "sessionize_batch",
+    "window_distinct_count",
+    "event_anomaly_cusum",
 ]
 OUT100 = os.path.join(tempfile.gettempdir(), "hsep_sf100")
 COPIES100 = 10  # × the sf10 replica

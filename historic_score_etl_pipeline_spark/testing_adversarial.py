@@ -271,6 +271,29 @@ def _events(t: pa.Table) -> pa.Table:
                  value=float(i % 97) / 8.0,
                  props='{"k": %d}' % (i % 5))
         )
+    # wave 5 (r11): epoch-sign and signed-zero edges.
+    # A PRE-epoch timestamp (negative epoch seconds) and the exact zero
+    # epoch: every day/window bucketing that divides epoch seconds must
+    # FLOOR, not truncate toward zero — for -1 s the two differ by a
+    # whole day (floor-div → day -1, int-div → day 0), the classic
+    # latent divergence between hand-rolled cast(epoch/86400) and
+    # date_trunc/window().  Spark's window()/date_trunc and DuckDB's
+    # date_trunc both floor; these rows make any truncating reformulation
+    # in a contract query (or its SQL twin) a parity failure instead of
+    # an unexercised branch.  The 1969 row also becomes the global min
+    # ts, stretching min-anchored spans across the epoch boundary.
+    rows += [
+        dict(event_id=KEY_BASE + 300_000,
+             ts=dt.datetime(1969, 12, 31, 23, 59, 59), user_id=14,
+             event_type="click", value=16.0, props='{"k": 8}'),
+        dict(event_id=KEY_BASE + 300_001,
+             ts=dt.datetime(1970, 1, 1, 0, 0, 0), user_id=14,
+             event_type="view", value=17.0, props='{"k": 9}'),
+        # IEEE negative zero: group keys must merge it with +0.0 and
+        # canonical output must print one sign on both engines
+        dict(event_id=KEY_BASE + 300_002, ts=midnight, user_id=14,
+             event_type="purchase", value=-0.0, props='{"k": 10}'),
+    ]
     return _append(t, rows)
 
 
