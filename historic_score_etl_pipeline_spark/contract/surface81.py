@@ -90,7 +90,16 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_TUMBLING_TOPK_SQL = f"""
 WITH counts AS (
-  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+  -- FLOOR-aligned tumbling bucket, integer-exact for PRE-EPOCH events:
+  -- DuckDB's // truncates toward zero (-1 // B = 0), but Spark's
+  -- window() floors (-1 s lands in the bucket starting at -B) — the
+  -- double-mod ((e % B) + B) % B is the portable non-negative residue,
+  -- so e - residue is true floor alignment on both signs.  Caught by
+  -- the wave-5 adversarial rows (1969-12-31 23:59:59); the old
+  -- (epoch_us // B) * B form put every pre-epoch event one bucket high.
+  SELECT epoch_us(ts)
+           - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000
+           AS win_start_us,
          event_type, CAST(count(*) AS BIGINT) AS n
   FROM events
   WHERE ts IS NOT NULL AND event_type IS NOT NULL

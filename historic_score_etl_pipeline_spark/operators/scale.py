@@ -34,6 +34,29 @@ def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def keyed_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """ALWAYS hash-partition by ``key``, at a partition count that tracks
+    the input's split count (never below cluster default parallelism).
+
+    For key-grouped pipelines over a column the map side EXPLODES
+    (tokens, shingles, n-grams), this is the shape that holds at every
+    scale: hashpartitioning(key) satisfies every downstream
+    ``groupBy(key, …)`` / ``groupBy(key)`` / self-join-on-key clustered
+    distribution, so the one exchange moves the COMPACT pre-explosion
+    rows and the exploded stream never shuffles.  ``ensure_parallelism``
+    by contrast is a no-op once the scan already has enough splits —
+    correct for map-only work, but for grouped explode work it silently
+    re-admits corpus-sized exchanges the moment the input outgrows the
+    small-file regime (measured r11: text_repetition exponent 1.17 at
+    the third decade, where the sf100 scan's 675 splits bypassed the
+    repartition and both n-gram aggregations shuffled the exploded
+    corpus).  Scaling the count with the input keeps per-task
+    aggregation state bounded by docs-per-split, spill-free."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(target, F.col(key))
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],

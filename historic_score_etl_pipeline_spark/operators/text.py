@@ -103,24 +103,26 @@ def repetition_stats(df, id_col: str, text_col: str):
     the whole token stream).  Ties need no break — only the max count is
     taken, never the arg-max token.
 
-    The input is repartitioned to cluster parallelism BEFORE the
-    CPU-heavy map side (regex tokenize → explode → partial hash agg):
-    a single-file/few-row-group corpus otherwise pins that whole stage
-    to the scan's split count — measured r9 at the sf10 replica (5 row
-    groups on 32 cores): exponent 1.52 (sf1 1.56 s → sf10 51.9 s),
-    dominated by 5-way-parallel spilling partial aggregates.
-    Re-measured post-fix: exponent 0.919 (2.22 s → 18.4 s) — a 2.8×
-    absolute win at sf10 for one extra exchange that moves only the
-    compact docs table (~60 MB at sf10), far below the exploded stream
-    it unblocks.
+    The input is hash-partitioned by ``id_col`` BEFORE the CPU-heavy map
+    side (regex tokenize → explode → partial hash agg), at a count that
+    tracks the input's split count (operators/scale.py::
+    keyed_parallelism).  The keyed exchange moves only the COMPACT docs
+    table, and because hashpartitioning(id) satisfies every downstream
+    grouped distribution here, the exploded token/bigram streams never
+    shuffle at ANY scale.  History: r9 measured the un-partitioned form
+    at exponent 1.52 (5 scan splits pinning the whole stage);
+    ensure_parallelism fixed that regime but is a no-op once the scan
+    has enough splits, so the r11 THIRD-decade probe caught the exploded
+    streams shuffling again at sf100 (675 scan splits, exponent 1.17);
+    keyed_parallelism closes both regimes.
     """
     from pyspark.sql import functions as F
 
     from historic_score_etl_pipeline_spark.operators.scale import (
-        ensure_parallelism,
+        keyed_parallelism,
     )
 
-    toks = ensure_parallelism(df, id_col).select(
+    toks = keyed_parallelism(df, id_col).select(
         F.col(id_col), tokens(F.col(text_col)).alias("t")
     ).withColumn("t", F.filter("t", lambda x: x != ""))
 

@@ -60,6 +60,19 @@ _ADV_TEXTS: list[str | None] = [
     # duplicate of doc_id 0's prefix style — near-dup / exact-dup bait
     None,  # NULL text: every text op must agree on NULL propagation
     "a" * 4096,  # one 4 KiB token: shingle windows, length outliers
+    # wave 5 (r11): case-folding edges VERIFIED to map identically on
+    # both engines across lower() AND initcap() (probed, then vetted by
+    # a full adversarial sweep): ẞ→ß, Ⅷ→ⅷ (roman numeral), ΣΑ→σα
+    # (NON-final sigma), straße (already-folded ß kept, initcap→Straße).
+    # DELIBERATELY EXCLUDED — documented engine folding boundaries, NOT
+    # fixture material (all pinned with exact expected values in
+    # tests/test_edge_semantics.py so they stay measured, not
+    # forgotten): 'İ' (Spark/JVM full lower → 'i'+U+0307, two
+    # codepoints; DuckDB simple → 'i'); word-final 'Σ' (Spark
+    # context-sensitive → 'ς'; DuckDB → 'σ'); and the Dž-family digraphs
+    # under initcap (Spark → TITLECASE U+01C5, DuckDB → UPPERCASE
+    # U+01C4 — caught by this row's first sweep and removed).
+    "ẞcharf Ⅷth ΣΑΛΑΤΑ straße",
 ]
 
 
