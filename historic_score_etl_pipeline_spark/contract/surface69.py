@@ -316,6 +316,18 @@ def graph_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two exact HITS rounds on the bipartite order–part graph: start
     auth⁰ = 1, hub¹(o) = Σ auth⁰ = deg(o), auth¹(p) = Σ hub¹,
     hub²(o) = Σ auth¹, auth²(p) = Σ hub² — top-20 authorities."""
+    # Pinned (lazy checkpoint): the distinct pair table feeds FIVE
+    # consumers (hub1 + three join probes + the final join's auth1), and
+    # each picks up DIFFERENT pushed-down IsNotNull filters from its join
+    # keys, so the six scan+distinct subtrees never canonicalize equal and
+    # exchange reuse cannot fire — the r11 plan audit counted the
+    # lineitem scan + distinct executing 6× (plans/r11/
+    # graph_hits_two_rounds_before.txt, scans 1/7/22/29/36/42).  One
+    # materialization + SHUFFLE_HASH hints on the |O|/|P|-row score
+    # tables (post-checkpoint they have no size statistics, so the
+    # planner would silently fall back to sort-merge) keeps every round a
+    # probe of the pinned pair table.  Measured r11 at sf0.1: 2.9-4.5 s →
+    # 2.0-2.8 s, rows identical.
     pairs = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -323,10 +335,11 @@ def graph_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("long").alias("p"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hub1 = pairs.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("h1"))
     auth1 = (
-        pairs.join(hub1, "o")
+        pairs.join(hub1.hint("shuffle_hash"), "o")
         .groupBy("p")
         .agg(
             F.sum("h1").cast("long").alias("a1"),
@@ -334,17 +347,17 @@ def graph_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hub2 = (
-        pairs.join(auth1.select("p", "a1"), "p")
+        pairs.join(auth1.select("p", "a1").hint("shuffle_hash"), "p")
         .groupBy("o")
         .agg(F.sum("a1").cast("long").alias("h2"))
     )
     auth2 = (
-        pairs.join(hub2, "o")
+        pairs.join(hub2.hint("shuffle_hash"), "o")
         .groupBy("p")
         .agg(F.sum("h2").cast("long").alias("a2"))
     )
     return (
-        auth1.join(auth2, "p")
+        auth1.join(auth2.hint("shuffle_hash"), "p")
         .orderBy(F.desc("a2"), F.asc("p"))
         .limit(_HITS_TOPK)
         .select(

@@ -166,6 +166,15 @@ def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)),
         ),
     )
+    # Pinned (lazy checkpoint): the signature table feeds BOTH sides of
+    # the band self-join, and the planner broadcast one whole side —
+    # the 4w×64 integer projections executed twice (r11 plan audit of the
+    # simhash sibling: BroadcastExchange over the full sig subtree).  One
+    # materialization + a SHUFFLE_HASH hint (post-checkpoint the table
+    # has no size statistics, so the planner would fall back to
+    # sort-merge; the band table is corpus-sized, so at scale a broadcast
+    # would be dishonest anyway).  Measured on the simhash sibling at
+    # sf0.1: 3.4 s → 1.8 s, rows identical.
     sig = (
         emb.crossJoin(F.broadcast(hp))
         .select(
@@ -175,6 +184,7 @@ def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
         .select("vec_id", ks_col.alias("ks"))
+        .localCheckpoint(eager=False)
     )
     bands = sig.select(
         "vec_id", "ks", F.posexplode("ks").alias("band", "bk")
@@ -182,7 +192,7 @@ def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -345,14 +355,20 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ),
     )
-    sig = base.select("doc_id", ks_col.alias("ks"))
+    # Pinned + SHUFFLE_HASH: same rationale and measurement as the
+    # hyperplane sibling above (sig fed both self-join sides; the planner
+    # broadcast one side, re-running the whole shingle→md5→vote chain —
+    # r11: 3.4 s → 1.8 s at sf0.1, rows identical).
+    sig = base.select("doc_id", ks_col.alias("ks")).localCheckpoint(
+        eager=False
+    )
     bands = sig.select(
         "doc_id", "ks", F.posexplode("ks").alias("band", "bk")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -210,11 +210,15 @@ def triangle_count(
         # no job beyond that one count.
         .localCheckpoint(eager=False)
     )
+    # Pinned (lazy): deg feeds BOTH broadcast sides of the orientation
+    # join plus the n_nodes scalar — unpinned it executed 3×, each a
+    # 2·m-row union+aggregate over the edge list (r11 A/B).
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # deg is |V| rows (node, count) — a dim table next to the O(m) edge
     # list: broadcast both degree joins so e never shuffles for them.
@@ -240,22 +244,28 @@ def triangle_count(
         # reused by both consumers — construction stays job-free.
     ).localCheckpoint(eager=False)
     # sorted out-neighbor array per node: |V⁺| rows, array length = the
-    # node's out-degree — bounded O(√m) by the orientation
+    # node's out-degree — bounded O(√m) by the orientation.  Pinned
+    # (lazy checkpoint): BOTH probe joins consume it — unpinned, the
+    # collect_list aggregate and its exchange executed twice (r11 plan
+    # audit: two ObjectHashAggregate subtrees, operators 18-20/29-31).
     adj = oriented.groupBy("x").agg(
         F.array_sort(F.collect_list("y")).alias("nbrs")
+    ).localCheckpoint(eager=False)
+    # attach both endpoints' arrays to each oriented edge with SHUFFLED
+    # HASH joins (guide §3.1), build side = the |V⁺|-row adjacency: the
+    # array-carrying edge stream is PROBED, never sorted and never
+    # buffered (r10's explicit repartition+sort-merge shape paid two
+    # sorts of the m-row array stream; measured r11 at sf0.1: probe
+    # 2.7-3.7 s SMJ → 1.5-1.8 s SHJ).  Per-partition build memory is
+    # adj/nparts rows of O(√m) longs — the same bound the old
+    # repartition targeted, now enforced by the join's own partitioning.
+    ex = oriented.join(adj.hint("shuffle_hash"), "x").select(
+        "x", "y", F.col("nbrs").alias("nx")
     )
-    # attach both endpoints' arrays to each oriented edge.  Explicit
-    # repartition by the join key: the rows CARRY arrays, so per-task
-    # memory is parallelism-sensitive, and AQE would coalesce these
-    # stages from their (small) m-row input size.  Matching the join's
-    # required hashpartitioning adds NO extra shuffle.
-    n_part = max(32, 2 * e.sparkSession.sparkContext.defaultParallelism)
-    ex = oriented.repartition(n_part, "x").join(
-        adj.repartition(n_part, "x"), "x"
-    ).select("x", "y", F.col("nbrs").alias("nx"))
-    exy = ex.repartition(n_part, "y").join(
-        adj.select(F.col("x").alias("y"), F.col("nbrs").alias("ny"))
-        .repartition(n_part, "y"),
+    exy = ex.join(
+        adj.select(F.col("x").alias("y"), F.col("nbrs").alias("ny")).hint(
+            "shuffle_hash"
+        ),
         "y",
     )
     n_tri = (
@@ -275,6 +285,22 @@ def triangle_count(
 
 
 PAGERANK_SCALE = 1_000_000_000_000  # total rank mass, integer units
+
+# Broadcast the per-round rank table when |V| is at or below this bound
+# (2²¹ nodes ≈ 32 MB of (long, long) pairs — comfortably under the 8 GB /
+# 512M-row broadcast cap with room for the hashed-relation overhead).
+# Same hybrid contract as ``connected_components``'s driver_max_edges:
+# the threshold is a MEASURED scalar (|V| = outd.count(), already on the
+# driver), not an estimate, so the gate is deterministic.  Rationale
+# (guide §3.1 + §5): each round's rank table is a localCheckpoint → the
+# planner sees UnknownPartitioning and NO size statistics, so it
+# sort-merge-joins the m-row edge table against the |V|-row rank table
+# EVERY round — a full shuffle + sort of the edges per iteration.
+# Measured r11 at sf0.1 (|V| = 20k, m = 2.4M): 5.9-8.4 s per round SMJ →
+# 0.9-1.9 s per round broadcast.  Above the gate the join instead gets a
+# SHUFFLE_HASH hint: the edge stream is probed, not sorted, and the
+# per-partition build is |V|/nparts rank rows — bounded at any scale.
+PR_BROADCAST_MAX_NODES = 1 << 21
 
 
 def pagerank_integer(
@@ -308,8 +334,21 @@ def pagerank_integer(
     total work is LINEAR in ``iters`` and the edge construction runs
     exactly once — see the inline note.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+    # Pin the edge list AND the out-degree table up front (lazy): e feeds
+    # outd + ew, and outd feeds the count, ew, and ranks⁰ — unpinned, the
+    # upstream edge construction (for the co-order graph a
+    # lineitem⋈lineitem self-join + distinct) executed THREE times (the
+    # r11 A/B isolated it: once for outd.count(), once materializing ew,
+    # once materializing ranks⁰ — the dominant cost of the whole query,
+    # not the rounds).  outd.count() below materializes both in one job.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
+    outd = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("outd"))
+        .localCheckpoint(eager=False)
+    )
     n = outd.count()  # |V| — one scalar on the driver, like CC's counts
     if n == 0:  # empty graph → empty ranks, not a ZeroDivisionError
         return e.select(
@@ -330,10 +369,16 @@ def pagerank_integer(
     # runs no jobs beyond the one outd.count() above — the first real
     # action materializes ew and each round's ranks in sequence, after
     # which every block is reused (work stays linear in `iters`).
-    ew = e.join(outd, "u").localCheckpoint(eager=False)
+    # Join-strategy gate on the MEASURED |V| (see PR_BROADCAST_MAX_NODES):
+    # checkpointed tables carry no size statistics, so without the gate
+    # the planner sort-merge-joins the m-row edge table every round.
+    small_v = n <= PR_BROADCAST_MAX_NODES
+    od = F.broadcast(outd) if small_v else outd.hint("shuffle_hash")
+    ew = e.join(od, "u").localCheckpoint(eager=False)
     for _ in range(iters):
+        rk = F.broadcast(ranks) if small_v else ranks.hint("shuffle_hash")
         contrib = (
-            ew.join(ranks, "u")
+            ew.join(rk, "u")
             .select(
                 "v",
                 F.expr(f"(r * {damping_pct}) div 100 div outd").alias("c"),
