@@ -358,13 +358,17 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         shingle_hashes(token_hashes(F.col("text"))).alias("sh"),
     ).localCheckpoint()
+    # banded feeds both self-join sides: pinned lazily so the MinHash
+    # banding over the signature index runs once (r11; same rationale as
+    # lsh_candidate_pairs), SHUFFLE_HASH because the checkpointed band
+    # table carries no size statistics.
     banded = band_buckets_from_hashes(
         base.select("doc_id", "sh"), "doc_id", "sh"
-    )
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -268,14 +268,21 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingle_hashes(F.col("th")).alias("base"))
         .localCheckpoint(eager=False)
     )
-    sigs = sh.select("doc_id", minhash_mins(F.col("base"), 32).alias("sig"))
+    # sigs and banded each feed TWO consumers (both pair-side joins /
+    # both self-join sides): pinned lazily so the 32-way MinHash fold and
+    # the banding run once, not twice (r11; same rationale as
+    # lsh_candidate_pairs).  SHUFFLE_HASH on the self-join because the
+    # checkpointed band table has no size statistics.
+    sigs = sh.select(
+        "doc_id", minhash_mins(F.col("base"), 32).alias("sig")
+    ).localCheckpoint(eager=False)
     banded = band_buckets_from_hashes(
         sh, "doc_id", "base", 32, 8, portable=True
-    )
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -60,9 +60,12 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_docs", F.expr("total_dl div n_docs").alias("avgdl"))
     hits = toks.where(F.col("tok").isin(*_BM25_TERMS))
     tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = hits.select("doc_id", "tok").distinct().groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df from tf, not from a second distinct pass over hits: tf's rows ARE
+    # the distinct (doc_id, tok) pairs, so count(*) per tok is identical —
+    # and the old shape's distinct exchange canonicalized differently from
+    # tf's aggregate exchange, so the corpus explode ran twice (r11 plan
+    # audit; one fewer scan+Generate pass, rows identical).
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     base = (
         tf.join(F.broadcast(df_), "tok")
         .join(dl, "doc_id")

@@ -165,29 +165,41 @@ def graph_kcore_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
 
-    def peel(und: DataFrame) -> DataFrame:
-        keep = (
-            und.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= _KCORE_K)
-            .select("u")
-        )
+    # r11 rework, same rows: each pass's degree table now serves BOTH the
+    # peel predicate and that pass's stats row — n_nodes = count(deg) ==
+    # countDistinct(u) and n_edges = Σd/2 == count(*)/2, so the old
+    # per-pass countDistinct (a second 2-exchange pass over the full
+    # 2m-row edge table) disappears.  deg is deliberately NOT pinned and
+    # the semi joins NOT hinted: both variants were A/B'd (min of 6,
+    # interleaved) — checkpoint barriers serialize the three stats
+    # branches that otherwise overlap inside one job, and the hint's
+    # forced build side lost to the planner's choice (old 2.10 s /
+    # stats-from-deg 1.90 s / +hints 2.27 s at sf0.1).
+    def deg_of(und: DataFrame) -> DataFrame:
+        return und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+
+    def peel(und: DataFrame, deg: DataFrame) -> DataFrame:
+        keep = deg.where(F.col("d") >= _KCORE_K).select("u")
         return und.join(keep, "u", "left_semi").join(
             keep.select(F.col("u").alias("v")), "v", "left_semi"
         )
 
-    und1 = peel(und0).localCheckpoint(eager=False)
-    und2 = peel(und1)
+    deg0 = deg_of(und0)
+    und1 = peel(und0, deg0).localCheckpoint(eager=False)
+    deg1 = deg_of(und1)
+    und2 = peel(und1, deg1)
+    deg2 = deg_of(und2)
 
-    def stats(und: DataFrame, p: int) -> DataFrame:
-        return und.agg(
+    def stats(deg: DataFrame, p: int) -> DataFrame:
+        # coalesce: an empty peeled graph must report 0 edges, not NULL
+        return deg.agg(
             F.lit(p).cast("long").alias("pass"),
-            F.countDistinct("u").cast("long").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias("n_edges"),
         )
 
-    return stats(und0, 0).unionByName(stats(und1, 1)).unionByName(
-        stats(und2, 2)
+    return stats(deg0, 0).unionByName(stats(deg1, 1)).unionByName(
+        stats(deg2, 2)
     )
 
 

@@ -299,12 +299,21 @@ def lsh_candidate_pairs(
     pairs.  The self-join never materializes n²: only rows sharing a full
     band collide.  Returns (id_a, id_b) with id_a < id_b.
     """
-    banded = band_buckets(df, id_col, text_col, num_hashes, bands, portable)
+    # Pinned (lazy checkpoint): the banded signature table feeds BOTH
+    # self-join sides; unpinned, the planner broadcasts one side and the
+    # whole shingle→MinHash→banding chain executes twice (r11 plan
+    # audit).  Post-checkpoint the table has no size statistics, so the
+    # bucket join is hinted SHUFFLE_HASH — the honest strategy at every
+    # scale (the band table is corpus-sized; sort-merge would sort it,
+    # broadcast would not survive real corpora).
+    banded = band_buckets(
+        df, id_col, text_col, num_hashes, bands, portable
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
