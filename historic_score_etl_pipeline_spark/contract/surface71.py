@@ -333,7 +333,6 @@ def udaf_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDAF: per supplier, the longest strictly-increasing
     run of price cents in (shipdate, orderkey, linenumber) order —
     one (prev, run, best) triple of state per group."""
-    import math
     from collections.abc import Iterator  # noqa: F401 — parity of imports
 
     import pandas as pd
@@ -348,22 +347,33 @@ def udaf_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def longest(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized run detection (guide §4.2: hand whole batches to
+        # numpy instead of looping rows in Python).  np.floor on float64
+        # is the same IEEE op as math.floor per element, so cents are
+        # bit-identical to the old per-row loop; a run's length at row i
+        # is i − (index of its most recent non-increase), via a running
+        # maximum over start indices.  A/B'd row-identical.
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["l_shipdate", "l_orderkey", "l_linenumber"]
         )
-        cents = [
-            int(math.floor(p * 100 + 0.5)) for p in pdf["l_extendedprice"]
-        ]
-        best = run = 0
-        prev = None
-        for c in cents:
-            run = run + 1 if prev is not None and c > prev else 1
-            best = max(best, run)
-            prev = c
+        c = np.floor(
+            pdf["l_extendedprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        n = len(c)
+        if n == 0:
+            best = 0
+        else:
+            idx = np.arange(n)
+            is_start = np.ones(n, dtype=bool)
+            is_start[1:] = c[1:] <= c[:-1]
+            run_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+            best = int((idx - run_start + 1).max())
         return pd.DataFrame(
             {
                 "l_suppkey": [int(pdf["l_suppkey"].iloc[0])],
-                "n_rows": [len(cents)],
+                "n_rows": [n],
                 "longest_run": [best],
             }
         )
