@@ -174,6 +174,27 @@ def main() -> None:
     # Per-query error isolation: one broken query must not zero the whole
     # bench (round-1 postmortem — an analysis error at query 7 discarded six
     # good timings).  Failures record {"err": ...} and the run continues.
+    # Inter-query isolation (r11 measurement-hygiene fix, guide §1 —
+    # documented in OPTIMIZATION_r11.md with before/after): several
+    # operators pin intermediates with localCheckpoint; the pinned blocks
+    # are reaped by Spark's ContextCleaner only after the Python and JVM
+    # garbage collectors drop the references, which in a tight 51-query
+    # loop does not happen on its own — measured: graph_triangle_count
+    # runs 8.6 s straight after graph_pagerank but 4.2 s with a reap in
+    # between (same ambient load), i.e. the OLD numbers charged query k
+    # for query k-1's leftover storage blocks.  The reap is UNTIMED and
+    # runs between queries, never inside a timed run, so every timed
+    # computation still starts from the parquet inputs.
+    import gc as _gc
+
+    def _reap() -> None:
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # JVM access drift must never break the bench
+        time.sleep(0.2)
+
     timings: dict[str, object] = {}
 
     def _timed(fn) -> object:
@@ -187,8 +208,10 @@ def main() -> None:
             return {"err": f"{type(exc).__name__}: {str(exc)[:300]}"}
         return round(best, 3)
 
+    _reap()  # clear warmup-phase state before the first timed query
     for name in names:
         timings[name] = _timed(lambda: qs[name](spark, sf_dir))
+        _reap()
     timings["flagship"] = _timed(lambda: flagship_pipeline(spark, sf_dir))
 
     ok = [v for v in timings.values() if isinstance(v, (int, float))]

@@ -357,7 +357,9 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         shingle_hashes(token_hashes(F.col("text"))).alias("sh"),
-    ).localCheckpoint()
+        # LAZY (r11): the first downstream action (CC's edge count)
+        # materializes it — eager spent one extra synchronous job here.
+    ).localCheckpoint(eager=False)
     # banded feeds both self-join sides: pinned lazily so the MinHash
     # banding over the signature index runs once (r11; same rationale as
     # lsh_candidate_pairs), SHUFFLE_HASH because the checkpointed band
