@@ -198,10 +198,17 @@ def bigram_surprisal(df, id_col: str, text_col: str):
     """
     from pyspark.sql import functions as F
 
+    # Pinned (lazy, r11): toks feeds the bigram stream AND the vocabulary
+    # count, and c2 feeds c1 AND the score join — with divergent pushed
+    # join-key filters none of the subtrees canonicalized equal, so the
+    # corpus scan + tokenize executed 4× per run (executed-plan audit:
+    # 4 parquet scans, 0 ReusedExchange).  Pinning the token arrays and
+    # the vocabulary-bounded bigram counts leaves the 2 inherent explode
+    # passes — measured 2.38 s → 1.95 s at sf0.1, rows identical.
     toks = df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         toks.where(F.size("t") >= 2)
         .select(
@@ -217,7 +224,9 @@ def bigram_surprisal(df, id_col: str, text_col: str):
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).localCheckpoint(eager=False)
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # vocabulary size: a 1-row broadcast DF folded into the expression —
     # NO driver action (the old .first() pulled the scalar through the
