@@ -62,7 +62,9 @@ def connected_components(
     # Jaccard verify in the dedup pipeline) re-executes once per round
     # per action.  localCheckpoint materializes it once and truncates the
     # lineage — the single biggest win in the iterative loop.
-    sym = sym.localCheckpoint()
+    # LAZY (r11): the count below is the materializing action — an eager
+    # checkpoint ran the symmetrize DAG as its own extra job first.
+    sym = sym.localCheckpoint(eager=False)
     n_edges = sym.count()
 
     if n_edges <= driver_max_edges:
