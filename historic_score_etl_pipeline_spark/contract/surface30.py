@@ -57,20 +57,29 @@ def event_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_id", "user_id", "ts", cents.alias("cents")
     )
-    # r11: target_u as a whole-partition window over the SAME user_id
-    # partitioning the CUSUM windows already need — the old shape
-    # re-scanned events for a per-user aggregate and broadcast-joined the
+    # r11: target_u as window aggregates over the SAME ordered user_id
+    # spec the CUSUM windows already need — the old shape re-scanned
+    # events for a per-user aggregate and broadcast-joined the
     # |users|-row result back (a corpus-keyed broadcast that could not
-    # survive real scale).  Now: one scan, one exchange, no join, no
-    # broadcast.  Measured 2.06 s → 1.26 s at sf0.1, rows identical.
-    wu = Window.partitionBy("user_id")
-    s = F.sum("cents").over(wu)
-    n = F.count(F.lit(1)).over(wu)
-    target = ((s - ((s % n + n) % n)) / n).cast("long")
+    # survive real scale).  All four functions below share one window
+    # spec, so they collapse into ONE Window node (the ≤2-Window plan
+    # law in tests/test_surface30.py still holds), and
+    # prefix_i = Σ_{j≤i}(c_j − t) is computed as rsum_i − i·t — exact in
+    # integers.  One scan, one exchange, no join, no broadcast.
+    # Measured 2.06 s → 1.26 s at sf0.1, rows identical.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    prefix = F.sum(F.col("cents") - F.col("target")).over(run)
-    joined = base.withColumn("target", target).select(
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = F.sum("cents").over(whole)
+    n = F.count(F.lit(1)).over(whole)
+    target = ((s - ((s % n + n) % n)) / n).cast("long")
+    rsum = F.sum("cents").over(run)
+    # count("cents") — non-null only — NOT row_number: sum(c − t) skips
+    # NULL cents, so the identity must multiply t by the count of terms
+    # the sum actually saw (caught by the adversarial NULL-value wave)
+    rc = F.count("cents").over(run)
+    prefix = rsum - rc * target
+    joined = base.select(
         "event_id", "user_id", "cents", "ts", prefix.alias("prefix")
     )
     cusum = F.col("prefix") - F.least(
