@@ -196,23 +196,40 @@ def main() -> None:
         time.sleep(0.2)
 
     timings: dict[str, object] = {}
+    rep_counts: dict[str, int] = {}
 
-    def _timed(fn) -> object:
+    # r12 noise-robustness fix (VERDICT r11 ask #1, declared in
+    # OPTIMIZATION_r12.md): best-of-2 left sub-second queries noise-bound
+    # (same-tree full-run totals spread ±40% on this host; 48/51 queries
+    # "regressed" in PERF_r11 while untouched).  Now TIME-BOXED BEST-OF-N:
+    # keep repeating until ≥3 s have been spent on the query or 5 reps
+    # have run, with the old 2-rep floor preserved so heavy queries are
+    # measured exactly as before.  The timed body (_force(fn())) is
+    # byte-identical to every prior round; only the repetition count
+    # changed, and the per-query rep count is printed in the JSON
+    # ("reps") so the estimator is auditable.
+    def _timed(fn, name: str) -> object:
         best = float("inf")
+        reps = 0
         try:
-            for _ in range(2):
+            t_box = time.perf_counter()
+            while reps < 2 or (reps < 5 and time.perf_counter() - t_box < 3.0):
                 t0 = time.perf_counter()
                 _force(fn())
                 best = min(best, time.perf_counter() - t0)
+                reps += 1
         except Exception as exc:  # noqa: BLE001 — record and continue
             return {"err": f"{type(exc).__name__}: {str(exc)[:300]}"}
+        rep_counts[name] = reps
         return round(best, 3)
 
     _reap()  # clear warmup-phase state before the first timed query
     for name in names:
-        timings[name] = _timed(lambda: qs[name](spark, sf_dir))
+        timings[name] = _timed(lambda: qs[name](spark, sf_dir), name)
         _reap()
-    timings["flagship"] = _timed(lambda: flagship_pipeline(spark, sf_dir))
+    timings["flagship"] = _timed(
+        lambda: flagship_pipeline(spark, sf_dir), "flagship"
+    )
 
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
     total = round(sum(ok), 3)
@@ -226,6 +243,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": rep_counts,
                 "sf": sf,
             }
         )
