@@ -187,7 +187,14 @@ def main() -> None:
     # computation still starts from the parquet inputs.
     import gc as _gc
 
+    from historic_score_etl_pipeline_spark.operators.pins import release_pins
+
     def _reap() -> None:
+        # r12: deterministic release first (operators/pins.py registers
+        # every lineage pin; ADVICE r11 asked for an explicit release
+        # path instead of GC reliance) — the gc dance below remains as a
+        # backstop for broadcasts and any unregistered state.
+        release_pins()
         _gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()

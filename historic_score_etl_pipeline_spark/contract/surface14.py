@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- sequence packing ---------------------------------------------------------
@@ -359,14 +360,15 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_hashes(token_hashes(F.col("text"))).alias("sh"),
         # LAZY (r11): the first downstream action (CC's edge count)
         # materializes it — eager spent one extra synchronous job here.
-    ).localCheckpoint(eager=False)
+    )
+    base = pin(base)
     # banded feeds both self-join sides: pinned lazily so the MinHash
     # banding over the signature index runs once (r11; same rationale as
     # lsh_candidate_pairs), SHUFFLE_HASH because the checkpointed band
     # table carries no size statistics.
-    banded = band_buckets_from_hashes(
+    banded = pin(band_buckets_from_hashes(
         base.select("doc_id", "sh"), "doc_id", "sh"
-    ).localCheckpoint(eager=False)
+    ))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- ordered funnel conversion ------------------------------------------------
@@ -66,9 +67,9 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one exchange/scan across same-keyed consumers); join strategies are
     # left to the planner — an A/B with forced shuffle-hash hints
     # measured slower (1.52 s pinned vs 1.67 s old vs 1.72 s hinted).
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = pin(load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
-    ).localCheckpoint(eager=False)
+    ))
     win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
     v = (
         ev.where(F.col("event_type") == "view")

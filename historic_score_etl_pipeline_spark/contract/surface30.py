@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- CUSUM as two windows -----------------------------------------------------
@@ -274,22 +275,21 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding (the expensive stage is the per-token md5; lazily pinned so
     # both consumers read the same materialized rows — the same sharing
     # dedup_pipeline_e2e does)
-    sh = (
+    sh = pin(
         docs.select("doc_id", token_hashes_md5("text").alias("th"))
         .select("doc_id", shingle_hashes(F.col("th")).alias("base"))
-        .localCheckpoint(eager=False)
     )
     # sigs and banded each feed TWO consumers (both pair-side joins /
     # both self-join sides): pinned lazily so the 32-way MinHash fold and
     # the banding run once, not twice (r11; same rationale as
     # lsh_candidate_pairs).  SHUFFLE_HASH on the self-join because the
     # checkpointed band table has no size statistics.
-    sigs = sh.select(
+    sigs = pin(sh.select(
         "doc_id", minhash_mins(F.col("base"), 32).alias("sig")
-    ).localCheckpoint(eager=False)
-    banded = band_buckets_from_hashes(
+    ))
+    banded = pin(band_buckets_from_hashes(
         sh, "doc_id", "base", 32, 8, portable=True
-    ).localCheckpoint(eager=False)
+    ))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 
@@ -53,12 +54,12 @@ def event_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
-        # Pinned (lazy, r11): du feeds the calendar spine AND the join
-        # probe — unpinned, the events scan + distinct executed twice
-        # (plan audit).  Modest locally (1.45 s → 1.40 s) but one corpus
-        # pass instead of two at any scale.
-        .localCheckpoint(eager=False)
     )
+    # Pinned (lazy, r11): du feeds the calendar spine AND the join
+    # probe — unpinned, the events scan + distinct executed twice
+    # (plan audit).  Modest locally (1.45 s → 1.40 s) but one corpus
+    # pass instead of two at any scale.
+    du = pin(du)
     cal = du.select(F.col("day").alias("cal_day")).distinct()
     j = du.join(
         F.broadcast(cal),

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- integerized BM25 -------------------------------------------------------------
@@ -60,17 +61,17 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the executed plan: 4 parquet scans, 0 ReusedExchange).  Pinning the
     # two doc-bounded aggregates drops it to the 2 inherent explode
     # passes — measured 4.9 s → 2.5 s at sf0.1, rows identical.
-    dl = toks.groupBy("doc_id").agg(
+    dl = pin(toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl")
-    ).localCheckpoint(eager=False)
+    ))
     # corpus scalars: N docs, avgdl = floor(total_tokens / N)
     scal = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).select("n_docs", F.expr("total_dl div n_docs").alias("avgdl"))
     hits = toks.where(F.col("tok").isin(*_BM25_TERMS))
-    tf = hits.groupBy("doc_id", "tok").agg(
+    tf = pin(hits.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    ))
     # df from tf, not from a second distinct pass over hits: tf's rows ARE
     # the distinct (doc_id, tok) pairs, so count(*) per tok is identical —
     # and the old shape's distinct exchange canonicalized differently from

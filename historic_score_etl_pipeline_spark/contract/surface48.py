@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.operators.dedup import simhash_portable
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
@@ -50,10 +51,17 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    sig = docs.select(
+    # Pinned (r12, VERDICT r11 ask #10): the band self-join consumes the
+    # signature table on BOTH sides — unpinned, the whole shingle→md5→
+    # majority-vote chain executed twice (the same disease the scaled
+    # sibling dedup_simhash_scaled had fixed in r11).  SHUFFLE_HASH on the
+    # self-join because the pinned table carries no size statistics (the
+    # planner would sort-merge) and the band table is corpus-sized (a
+    # broadcast would not survive real corpora).
+    sig = pin(docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         simhash_portable("text").alias("sh"),
-    )
+    ))
     bands = sig.select(
         "doc_id",
         "sh",
@@ -74,7 +82,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.nib") == F.col("b.nib"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

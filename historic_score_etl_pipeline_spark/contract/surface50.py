@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- URL composition + parse_url ---------------------------------------------------
@@ -232,8 +233,8 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ws").cast("long").alias("plen"),
             "ws",
         )
-        .localCheckpoint(eager=False)
     )
+    runs = pin(runs)
     wi = runs.select("doc_id", "gid", "plen", F.explode("ws").alias("w"))
     wstats = wi.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),

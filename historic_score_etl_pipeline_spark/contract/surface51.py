@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 from historic_score_etl_pipeline_spark.operators.similarity import valid_vectors
 
@@ -92,7 +93,10 @@ def embed_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(2.0), b.cast("double")).cast("long"),
         ).otherwise(F.lit(0)),
     )
-    sig = (
+    # Pinned (r12, VERDICT r11 ask #10): the band self-join consumes the
+    # signature table on both sides — unpinned, the 16×64 integer
+    # projections executed twice (same fix as the scaled sibling).
+    sig = pin(
         emb.crossJoin(F.broadcast(hp))
         .select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q"), "hp")
         .select("vec_id", sig_col.alias("sg"))
@@ -119,7 +123,7 @@ def embed_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.nib") == F.col("b.nib"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- SQL scalar UDFs ------------------------------------------------------------------
@@ -335,8 +336,8 @@ def graph_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("long").alias("p"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    pairs = pin(pairs)
     hub1 = pairs.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("h1"))
     auth1 = (
         pairs.join(hub1.hint("shuffle_hash"), "o")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- image edge energy ------------------------------------------------------------------
@@ -161,9 +162,9 @@ def graph_kcore_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy lineage pins (the operators/graph.py idiom): each pass and its
     # stats row reuse ONE materialization instead of replaying the whole
     # distinct-pair chain per consumer (3 stats + 2 peels = 5 consumers)
-    und0 = e0.unionByName(
+    und0 = pin(e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ))
 
     # r11 rework, same rows: each pass's degree table now serves BOTH the
     # peel predicate and that pass's stats row — n_nodes = count(deg) ==
@@ -185,7 +186,7 @@ def graph_kcore_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     deg0 = deg_of(und0)
-    und1 = peel(und0, deg0).localCheckpoint(eager=False)
+    und1 = pin(peel(und0, deg0))
     deg1 = deg_of(und1)
     und2 = peel(und1, deg1)
     deg2 = deg_of(und2)

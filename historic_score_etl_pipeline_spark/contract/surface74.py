@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 # --- linear gap-fill interpolation ------------------------------------------------------
@@ -244,7 +245,8 @@ def graph_clustering_coeff_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").cast("long").alias("v"),
         )
         .distinct()
-    ).localCheckpoint(eager=False)
+    )
+    pairs = pin(pairs)
     deg = (
         pairs.select(F.col("u").alias("x"))
         .unionByName(pairs.select(F.col("v").alias("x")))

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from historic_score_etl_pipeline_spark.contract import QuerySpec
+from historic_score_etl_pipeline_spark.operators.pins import pin
 from historic_score_etl_pipeline_spark.sources.catalog import load_table
 
 _SRPS_BANDS = 4
@@ -184,8 +185,8 @@ def embed_lsh_hyperplane_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
         .select("vec_id", ks_col.alias("ks"))
-        .localCheckpoint(eager=False)
     )
+    sig = pin(sig)
     bands = sig.select(
         "vec_id", "ks", F.posexplode("ks").alias("band", "bk")
     )
@@ -359,9 +360,7 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hyperplane sibling above (sig fed both self-join sides; the planner
     # broadcast one side, re-running the whole shingle→md5→vote chain —
     # r11: 3.4 s → 1.8 s at sf0.1, rows identical).
-    sig = base.select("doc_id", ks_col.alias("ks")).localCheckpoint(
-        eager=False
-    )
+    sig = pin(base.select("doc_id", ks_col.alias("ks")))
     bands = sig.select(
         "doc_id", "ks", F.posexplode("ks").alias("band", "bk")
     )

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from historic_score_etl_pipeline_spark.operators.pins import pin
+
 
 def text_fingerprint(col: Column | str) -> Column:
     """Canonical content fingerprint: lowercase, collapse whitespace, md5.
@@ -306,9 +308,18 @@ def lsh_candidate_pairs(
     # bucket join is hinted SHUFFLE_HASH — the honest strategy at every
     # scale (the band table is corpus-sized; sort-merge would sort it,
     # broadcast would not survive real corpora).
-    banded = band_buckets(
+    # Skew note (ADVICE r11 #2): a forced SHUFFLE_HASH build side cannot
+    # spill, so ONE pathologically hot band bucket (a boilerplate phrase
+    # shared by millions of docs) concentrated on one partition could OOM
+    # an executor where sort-merge would have spilled.  Accepted
+    # knowingly: bucket keys are (band, md5-derived value) — hash-mixed
+    # by construction — and AQE's skewJoin split remains enabled for the
+    # probe side; if a corpus with degenerate buckets shows up, cap
+    # bucket width upstream (drop buckets over a frequency bound, the
+    # standard LSH "stop-bucket" guard) rather than un-hinting the join.
+    banded = pin(band_buckets(
         df, id_col, text_col, num_hashes, bands, portable
-    ).localCheckpoint(eager=False)
+    ))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

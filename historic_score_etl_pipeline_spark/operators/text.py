@@ -205,10 +205,12 @@ def bigram_surprisal(df, id_col: str, text_col: str):
     # 4 parquet scans, 0 ReusedExchange).  Pinning the token arrays and
     # the vocabulary-bounded bigram counts leaves the 2 inherent explode
     # passes — measured 2.38 s → 1.95 s at sf0.1, rows identical.
-    toks = df.select(
+    from historic_score_etl_pipeline_spark.operators.pins import pin
+
+    toks = pin(df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
-    ).localCheckpoint(eager=False)
+    ))
     pairs = (
         toks.where(F.size("t") >= 2)
         .select(
@@ -224,9 +226,9 @@ def bigram_surprisal(df, id_col: str, text_col: str):
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    c2 = pairs.groupBy("w1", "w2").agg(
+    c2 = pin(pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
-    ).localCheckpoint(eager=False)
+    ))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # vocabulary size: a 1-row broadcast DF folded into the expression —
     # NO driver action (the old .first() pulled the scalar through the
