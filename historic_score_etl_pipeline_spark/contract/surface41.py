@@ -54,16 +54,24 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    # dl and tf are each consumed twice (dl: scal + the score join; tf:
-    # df + the score join), and the consumers push DIFFERENT join-key
-    # IsNotNull filters into the subtrees, so they never canonicalize
-    # equal and the corpus explode re-ran per consumer (verified r11 on
-    # the executed plan: 4 parquet scans, 0 ReusedExchange).  Pinning the
-    # two doc-bounded aggregates drops it to the 2 inherent explode
-    # passes — measured 4.9 s → 2.5 s at sf0.1, rows identical.
-    dl = pin(toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl")
-    ))
+    # dl is a pure PROJECTION, not an explode+groupBy (r12): the doc
+    # length is the size of the filtered token array, so the old corpus
+    # explode + |docs|-row hash shuffle for dl disappears entirely —
+    # one scan-side map emits (doc_id, dl) directly.  The `dl > 0`
+    # filter reproduces the old explode semantics exactly (a doc with
+    # no non-empty tokens produced no dl row; size(NULL array) = -1
+    # likewise drops NULL text).  Pinned because dl still feeds scal
+    # AND the score join (r11's divergent-pushed-filter disease).
+    # Measured with the tf pin below: bm25 1.36 → 1.05 s min-of-6
+    # interleaved at sf0.1, rows identical.
+    dl_arr = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    dl = pin(
+        docs.select("doc_id", F.size(dl_arr).alias("dl")).where(
+            F.col("dl") > 0
+        )
+    )
     # corpus scalars: N docs, avgdl = floor(total_tokens / N)
     scal = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")

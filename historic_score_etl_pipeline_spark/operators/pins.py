@@ -52,7 +52,15 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
 
     Lazy is the operators' default: the first downstream action
     materializes the blocks, so constructing a query runs no extra job.
+
+    ``HSEP_AUDIT_NO_PIN=1`` makes pin a no-op — plan-audit mode: a
+    checkpoint truncates the visible plan at the pinned RDD, so the full
+    dataflow (how many scans/explodes/exchanges the query REALLY
+    contains) is only visible with pins disabled.  Never set it for
+    timed runs; iterative operators become quadratic without pins.
     """
+    if os.environ.get("HSEP_AUDIT_NO_PIN"):
+        return df
     if os.environ.get("HSEP_RELIABLE_CHECKPOINT"):
         try:
             return df.checkpoint(eager=eager)
