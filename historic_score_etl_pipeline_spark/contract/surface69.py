@@ -339,7 +339,11 @@ def graph_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = pin(pairs)
     hub1 = pairs.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("h1"))
-    auth1 = (
+    # auth1 is consumed TWICE (hub2's probe + the final join) — unpinned,
+    # the whole pairs⋈hub1+groupBy subtree replayed once per consumer
+    # (r11's disease #1).  Pinned r12: A/B 2.14 → 2.05 s min-of-6; at
+    # scale it halves the round-1 probes of the pinned pair table.
+    auth1 = pin(
         pairs.join(hub1.hint("shuffle_hash"), "o")
         .groupBy("p")
         .agg(

@@ -557,24 +557,32 @@ def png_roundtrip_features(media: DataFrame) -> DataFrame:
 
 
 def png_roundtrip_from_docs(docs: DataFrame) -> DataFrame:
-    """Fused render→PNG-roundtrip over documents: one mapInPandas doing
+    """Fused render→PNG-roundtrip over documents: one Python stage doing
     BMP render, BMP decode, PNG encode/decode and pixel-equality — the
     same semantics as ``png_roundtrip_features(documents_as_image_media(
     docs))`` (equality pytest-asserted) but with ONE Python stage instead
     of two, so each task crosses JVM↔Python once and the image payload
     never rides Arrow between two Python nodes.  Under the bench's
     many-small-splits layout this halves per-task overhead — the
-    dominant cost, since the codec work itself is ~µs per image."""
+    dominant cost, since the codec work itself is ~µs per image.
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    mapInArrow (r12, VERDICT r11 ask #7): the batches stay raw Arrow
+    RecordBatches — no pandas Series materialization on either side of
+    the boundary.  A/B'd neutral at sf0.1 (0.39 vs 0.40 s — the work is
+    the codec, not the transport, at this payload size); kept for the
+    transport honesty once payloads grow."""
+
+    def batches(it):
+        import pyarrow as pa
+
         from historic_score_etl_pipeline_spark.operators.codecs import (
             decode_png,
             encode_png,
         )
 
-        for pdf in it:
+        for b in it:
             widths, heights, oks = [], [], []
-            for t in pdf["text"]:
+            for t in b.column("text").to_pylist():
                 img = decode_image(render_text_bmp(t or ""))
                 back = decode_png(encode_png(img, level=1))
                 heights.append(img.shape[0])
@@ -582,17 +590,20 @@ def png_roundtrip_from_docs(docs: DataFrame) -> DataFrame:
                 oks.append(
                     back.shape == img.shape and bool(np.array_equal(back, img))
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "width": widths,
-                    "height": heights,
-                    "n_pixels": [w * h for w, h in zip(widths, heights)],
-                    "png_ok": oks,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id").cast(pa.int64()),
+                    pa.array(widths, pa.int64()),
+                    pa.array(heights, pa.int64()),
+                    pa.array(
+                        [w * h for w, h in zip(widths, heights)], pa.int64()
+                    ),
+                    pa.array(oks, pa.bool_()),
+                ],
+                names=["media_id", "width", "height", "n_pixels", "png_ok"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInArrow(
         batches, PNG_ROUNDTRIP_SCHEMA
     )
 
@@ -634,20 +645,30 @@ def ahash_64(img: np.ndarray) -> tuple[int, int, int]:
 def image_ahash(docs: DataFrame) -> DataFrame:
     """Render → REAL BMP decode → integer aHash, Arrow-batched.  The
     whole encode/decode path is under test: a mangled header, padding
-    byte, or row order changes the pixels and breaks the oracle hash."""
+    byte, or row order changes the pixels and breaks the oracle hash.
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = {k: [] for k in AHASH_SCHEMA.fieldNames()}
-            for did, t in zip(pdf["doc_id"], pdf["text"]):
+    mapInArrow (r12, VERDICT r11 ask #7): raw Arrow RecordBatches both
+    ways, no pandas materialization.  A/B'd neutral at sf0.1 (0.42 vs
+    0.40 s); kept for the transport honesty once payloads grow."""
+
+    def batches(it):
+        import pyarrow as pa
+
+        for b in it:
+            cols = ("width", "height", "ahash_hi", "ahash_lo", "n_ones")
+            out: dict[str, list] = {k: [] for k in cols}
+            for t in b.column("text").to_pylist():
                 img = decode_image(render_text_bmp(t or ""))
                 hi, lo, ones = ahash_64(img)
-                rows["media_id"].append(int(did))
-                rows["width"].append(img.shape[1])
-                rows["height"].append(img.shape[0])
-                rows["ahash_hi"].append(hi)
-                rows["ahash_lo"].append(lo)
-                rows["n_ones"].append(ones)
-            yield pd.DataFrame(rows)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+                out["n_ones"].append(ones)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id").cast(pa.int64())]
+                + [pa.array(out[k], pa.int64()) for k in cols],
+                names=["media_id", *cols],
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(batches, AHASH_SCHEMA)
+    return docs.select("doc_id", "text").mapInArrow(batches, AHASH_SCHEMA)

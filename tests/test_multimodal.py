@@ -142,8 +142,9 @@ def test_resize_images_real(spark):
 
 def test_png_roundtrip_fused_equals_composed(spark, sf_oracle):
     """The fused single-Python-stage path must be row-identical to the
-    two-stage composition, and its plan must carry exactly ONE
-    MapInPandas node (the whole point of the fusion)."""
+    two-stage composition, and its plan must carry exactly ONE Python
+    boundary node — a MapInArrow since r12 (raw Arrow batches, no pandas
+    materialization), and no MapInPandas alongside it."""
     from historic_score_etl_pipeline_spark.operators.multimodal import (
         documents_as_image_media,
         png_roundtrip_features,
@@ -167,4 +168,5 @@ def test_png_roundtrip_fused_equals_composed(spark, sf_oracle):
 
     # formatted mode prints each node twice (tree line + detail header);
     # count the detail headers
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 0
