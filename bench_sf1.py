@@ -524,6 +524,20 @@ def run_set(
     def _force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # untimed inter-query reap (r12): same isolation as bench.py — a
+    # query must not be charged for the previous query's pinned blocks
+    import gc as _gc
+
+    from historic_score_etl_pipeline_spark.operators.pins import release_pins
+
+    def _reap():
+        release_pins()
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     out: dict[str, float] = {}
     for name in names if names is not None else HEAVIES:
         best = float("inf")
@@ -532,6 +546,7 @@ def run_set(
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+        _reap()
     if flagship is not None:
         best = float("inf")
         for _ in range(2):
